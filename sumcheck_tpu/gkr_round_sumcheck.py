@@ -1,0 +1,200 @@
+"""GKR Round Sumcheck (Libra two-phase, [XZZPS19] §3.3) — reference L6,
+`src/gkr_round_sumcheck/mod.rs` and `data_structures.rs`.
+
+Proves `sum_{x,y} f1(g, x, y) * f2(x) * f3(y)` for sparse `f1` over 3*dim
+variables and dense `f2`, `f3` over dim variables, reusing the MLSumcheck
+round engine as a subroutine:
+
+- phase 1: build `h_g(x) = sum_y f1(g, x, y) * f3(y)` (a sparse-weighted
+  scatter over f1's nonzeros, reference `mod.rs:22-42`), then run a dim-round
+  degree-2 sumcheck on `h_g * f2` -> randomness `u`;
+- phase 2: fix `f1_g` at `u`, densify, and sumcheck `f1(g,u,.) * (f2(u)*f3)`
+  -> randomness `v`.
+
+Transcript parity note: the reference feeds ONLY prover messages — `g`, the
+dimensions, and the claimed sum are NOT absorbed (`mod.rs:114,128`; no domain
+separation). We replicate that exactly for bit-exactness.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .data_structures import ListOfProductsOfPolynomials, PolynomialInfo
+from .fields import limbs_np as L
+from .fields.fr import Fr
+from .mle import DenseMLE, SparseMLE, _segment_sum_mod_p
+from .protocol import IPForMLSumcheck
+from .protocol.prover import ProverMsg, ProverState
+
+
+def initialize_phase_one(
+    f1: SparseMLE, f3: DenseMLE, g: Sequence[Fr]
+) -> tuple[DenseMLE, SparseMLE]:
+    """Build the Libra helper table `h_g(x) = sum_y f1(g,x,y) * f3(y)` and
+    return it with `f1` fixed at `g` (reference `mod.rs:22-42`).
+
+    The reference's scalar scatter loop (`a_hg[x] += v * f3[y]`) becomes a
+    vectorized gather (f3 at y), batched Montgomery multiply, and a sorted
+    segment-sum over x — the TPU-idiomatic shape for random-index
+    accumulation (SURVEY.md Stage 4)."""
+    dim = f3.num_vars
+    assert f1.num_vars == dim * 3
+    assert len(g) == dim
+    f1_g = f1.fix_variables(list(g))  # sparse over 2*dim vars (x then y)
+    a_hg = L.zeros(1 << dim)
+    if f1_g.num_nonzero:
+        idx = f1_g.indices
+        x = (idx & ((1 << dim) - 1)).astype(np.int64)
+        y = (idx >> dim).astype(np.int64)
+        vals = L.mont_mul(f1_g.values, f3.evals[:, y])
+        uniq, inverse = np.unique(x, return_inverse=True)
+        merged = _segment_sum_mod_p(vals, inverse, len(uniq))
+        a_hg[:, uniq] = merged
+    return DenseMLE(dim, a_hg), f1_g
+
+
+def start_phase1_sumcheck(h_g: DenseMLE, f2: DenseMLE) -> ProverState:
+    """Wrap `h_g * f2` as a 1-product polynomial and init the round prover
+    (reference `mod.rs:45-54`)."""
+    dim = h_g.num_vars
+    assert f2.num_vars == dim
+    poly = ListOfProductsOfPolynomials(dim)
+    poly.add_product([h_g, f2], Fr.one())
+    return IPForMLSumcheck.prover_init(poly)
+
+
+def initialize_phase_two(f1_g: SparseMLE, u: Sequence[Fr]) -> DenseMLE:
+    """`f1` fixed at `g || u`, densified (reference `mod.rs:57-63`)."""
+    assert len(u) * 2 == f1_g.num_vars
+    return f1_g.fix_variables(list(u)).to_dense()
+
+
+def start_phase2_sumcheck(f1_gu: DenseMLE, f3: DenseMLE, f2_u: Fr) -> ProverState:
+    """Prove `sum_y f1(g,u,y) * f2(u) * f3(y)` as `f1_gu * (f2_u * f3)`
+    (reference `mod.rs:66-82`)."""
+    f3_f2u = DenseMLE.zero().scaled_add(f2_u, f3)
+    dim = f1_gu.num_vars
+    assert f3.num_vars == dim
+    poly = ListOfProductsOfPolynomials(dim)
+    poly.add_product([f1_gu, f3_f2u], Fr.one())
+    return IPForMLSumcheck.prover_init(poly)
+
+
+class GKRProof:
+    """Proof for a GKR round function (reference `data_structures.rs:9-19`)."""
+
+    __slots__ = ("phase1_sumcheck_msgs", "phase2_sumcheck_msgs")
+
+    def __init__(self, phase1_sumcheck_msgs: list[ProverMsg], phase2_sumcheck_msgs: list[ProverMsg]):
+        self.phase1_sumcheck_msgs = phase1_sumcheck_msgs
+        self.phase2_sumcheck_msgs = phase2_sumcheck_msgs
+
+    def extract_sum(self) -> Fr:
+        return (
+            self.phase1_sumcheck_msgs[0].evaluations[0]
+            + self.phase1_sumcheck_msgs[0].evaluations[1]
+        )
+
+
+class GKRRoundSumcheckSubClaim:
+    """Subclaim from a convinced GKR verifier
+    (reference `data_structures.rs:22-57`)."""
+
+    __slots__ = ("u", "v", "expected_evaluation")
+
+    def __init__(self, u: list[Fr], v: list[Fr], expected_evaluation: Fr):
+        self.u = u
+        self.v = v
+        self.expected_evaluation = expected_evaluation
+
+    def verify_subclaim(
+        self, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE, g: Sequence[Fr]
+    ) -> bool:
+        dim = len(self.u)
+        assert len(self.v) == dim
+        assert f1.num_vars == 3 * dim and f2.num_vars == dim and f3.num_vars == dim
+        assert len(g) == dim
+        guv = list(g) + list(self.u) + list(self.v)
+        actual = f1.evaluate(guv) * f2.evaluate(self.u) * f3.evaluate(self.v)
+        return actual == self.expected_evaluation
+
+
+class GKRRoundSumcheck:
+    """Sumcheck argument for a GKR round function (reference `mod.rs:85-192`)."""
+
+    @staticmethod
+    def prove(
+        rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE, g: Sequence[Fr]
+    ) -> GKRProof:
+        """Caller supplies the transcript RNG (unlike `MLSumcheck.prove`)."""
+        assert f1.num_vars == 3 * f2.num_vars
+        assert f1.num_vars == 3 * f3.num_vars
+        dim = f2.num_vars
+        g = list(g)
+
+        h_g, f1_g = initialize_phase_one(f1, f3, g)
+        phase1_ps = start_phase1_sumcheck(h_g, f2)
+        phase1_vm = None
+        phase1_msgs = []
+        u: list[Fr] = []
+        for _ in range(dim):
+            pm = IPForMLSumcheck.prove_round(phase1_ps, phase1_vm)
+            rng.feed(pm)
+            phase1_msgs.append(pm)
+            vm = IPForMLSumcheck.sample_round(rng)
+            phase1_vm = vm
+            u.append(vm.randomness)
+
+        f1_gu = initialize_phase_two(f1_g, u)
+        phase2_ps = start_phase2_sumcheck(f1_gu, f3, f2.evaluate(u))
+        phase2_vm = None
+        phase2_msgs = []
+        v: list[Fr] = []
+        for _ in range(dim):
+            pm = IPForMLSumcheck.prove_round(phase2_ps, phase2_vm)
+            rng.feed(pm)
+            phase2_msgs.append(pm)
+            vm = IPForMLSumcheck.sample_round(rng)
+            phase2_vm = vm
+            v.append(vm.randomness)
+
+        return GKRProof(phase1_msgs, phase2_msgs)
+
+    @staticmethod
+    def verify(
+        rng, f2_num_vars: int, proof: GKRProof, claimed_sum: Fr
+    ) -> GKRRoundSumcheckSubClaim:
+        """Two chained degree-2 verification passes; phase 2's claimed sum is
+        phase 1's expected evaluation (reference `mod.rs:147-192`).
+        Raises `Reject` on inconsistency."""
+        dim = f2_num_vars
+
+        phase1_vs = IPForMLSumcheck.verifier_init(
+            PolynomialInfo(max_multiplicands=2, num_variables=dim)
+        )
+        for i in range(dim):
+            pm = proof.phase1_sumcheck_msgs[i]
+            rng.feed(pm)
+            IPForMLSumcheck.verify_round(pm, phase1_vs, rng)
+        phase1_subclaim = IPForMLSumcheck.check_and_generate_subclaim(phase1_vs, claimed_sum)
+        u = phase1_subclaim.point
+
+        phase2_vs = IPForMLSumcheck.verifier_init(
+            PolynomialInfo(max_multiplicands=2, num_variables=dim)
+        )
+        for i in range(dim):
+            pm = proof.phase2_sumcheck_msgs[i]
+            rng.feed(pm)
+            IPForMLSumcheck.verify_round(pm, phase2_vs, rng)
+        phase2_subclaim = IPForMLSumcheck.check_and_generate_subclaim(
+            phase2_vs, phase1_subclaim.expected_evaluation
+        )
+
+        return GKRRoundSumcheckSubClaim(
+            u=u,
+            v=phase2_subclaim.point,
+            expected_evaluation=phase2_subclaim.expected_evaluation,
+        )

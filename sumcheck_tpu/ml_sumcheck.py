@@ -1,0 +1,80 @@
+"""Non-interactive MLSumcheck via Fiat-Shamir (reference L5/C11,
+`src/ml_sumcheck/mod.rs:18-101`).
+
+Transcript schedule (must match the reference byte-for-byte):
+`feed(polynomial.info())`, then per round `prove_round -> feed(prover_msg) ->
+sample challenge`; the final challenge is appended to the prover's randomness
+(`mod.rs:65-67`) so `prover_state.randomness` equals the verifier's subclaim
+point. A proof is the list of round messages (`type Proof<F> =
+Vec<ProverMsg<F>>`, `mod.rs:22`).
+"""
+
+from __future__ import annotations
+
+from .data_structures import ListOfProductsOfPolynomials, PolynomialInfo
+from .fields.fr import Fr
+from .protocol import IPForMLSumcheck
+from .protocol.prover import ProverMsg, ProverState
+from .protocol.verifier import SubClaim
+from .transcript.blake2b_rng import Blake2b512Rng
+
+Proof = list  # Proof = list[ProverMsg]
+
+
+class MLSumcheck:
+    """Sumcheck for sums of products of multilinear polynomials."""
+
+    @staticmethod
+    def extract_sum(proof: list[ProverMsg]) -> Fr:
+        """The claimed sum is P_1(0) + P_1(1) (reference `mod.rs:26-28`)."""
+        return proof[0].evaluations[0] + proof[0].evaluations[1]
+
+    @staticmethod
+    def prove(polynomial: ListOfProductsOfPolynomials) -> list[ProverMsg]:
+        """One-shot Fiat-Shamir prove with a fresh transcript
+        (reference `mod.rs:42-45`)."""
+        fs_rng = Blake2b512Rng.setup()
+        proof, _state = MLSumcheck.prove_as_subprotocol(fs_rng, polynomial)
+        return proof
+
+    @staticmethod
+    def prove_as_subprotocol(
+        fs_rng, polynomial: ListOfProductsOfPolynomials
+    ) -> tuple[list[ProverMsg], ProverState]:
+        """Prove over a caller-supplied transcript; returns the prover state
+        too, for composition into larger protocols (reference `mod.rs:50-70`)."""
+        fs_rng.feed(polynomial.info())
+        prover_state = IPForMLSumcheck.prover_init(polynomial)
+        verifier_msg = None
+        prover_msgs = []
+        for _ in range(polynomial.num_variables):
+            prover_msg = IPForMLSumcheck.prove_round(prover_state, verifier_msg)
+            fs_rng.feed(prover_msg)
+            prover_msgs.append(prover_msg)
+            verifier_msg = IPForMLSumcheck.sample_round(fs_rng)
+        prover_state.randomness.append(verifier_msg.randomness)
+        return prover_msgs, prover_state
+
+    @staticmethod
+    def verify(
+        polynomial_info: PolynomialInfo, claimed_sum: Fr, proof: list[ProverMsg]
+    ) -> SubClaim:
+        """One-shot Fiat-Shamir verify (reference `mod.rs:73-80`).
+        Raises `Reject` if the proof is inconsistent with the claim."""
+        fs_rng = Blake2b512Rng.setup()
+        return MLSumcheck.verify_as_subprotocol(fs_rng, polynomial_info, claimed_sum, proof)
+
+    @staticmethod
+    def verify_as_subprotocol(
+        fs_rng, polynomial_info: PolynomialInfo, claimed_sum: Fr, proof: list[ProverMsg]
+    ) -> SubClaim:
+        """Verify over a caller-supplied transcript (reference `mod.rs:84-100`)."""
+        fs_rng.feed(polynomial_info)
+        verifier_state = IPForMLSumcheck.verifier_init(polynomial_info)
+        for i in range(polynomial_info.num_variables):
+            if i >= len(proof):
+                raise IndexError("proof is incomplete")
+            prover_msg = proof[i]
+            fs_rng.feed(prover_msg)
+            IPForMLSumcheck.verify_round(prover_msg, verifier_state, fs_rng)
+        return IPForMLSumcheck.check_and_generate_subclaim(verifier_state, claimed_sum)

@@ -1,0 +1,85 @@
+"""Fiat-Shamir transcript: bit-exact replica of the reference `Blake2b512Rng`.
+
+Reference behavior (`/root/reference/src/rng.rs`):
+
+- State is a *running* Blake2b-512 digest (unkeyed, 64-byte output).
+- `feed(msg)` absorbs `msg.serialize_uncompressed()` bytes (`rng.rs:36-41`).
+- `fill_bytes(dest)` (`rng.rs:61-80`): clone the running digest, finalize to a
+  64-byte block, emit bytes from it; whenever a block is fully consumed,
+  absorb it into the running digest and finalize a fresh clone for the next
+  block; after the destination is filled, absorb the currently-held block
+  (even if partially — or not at all — consumed).  Note the corner case: a
+  64-byte-aligned request absorbs the exhausted block inside the loop AND the
+  freshly generated (unconsumed) block at exit.
+- `next_u32`/`next_u64`: separate `fill_bytes(4)`/`fill_bytes(8)` calls, LE.
+
+`fr_rand` replicates ark-ff 0.4's `Distribution<Fp> for Standard`: draw 4
+u64 limbs (least-significant first, one `next_u64` each), mask the top limb to
+255 bits (`num_bits_to_shave() == 1`), reject if >= modulus — and the accepted
+bigint IS the Montgomery representation, so the canonical value is
+`draw * R^-1 mod p`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..fields.fr import P, R_INV
+
+_BLOCK = 64  # Blake2b512 output size
+
+
+class Blake2b512Rng:
+    """Deterministic feed/sample transcript (`FeedableRNG` equivalent)."""
+
+    __slots__ = ("_h",)
+
+    def __init__(self):
+        self._h = hashlib.blake2b(digest_size=_BLOCK)
+
+    @classmethod
+    def setup(cls) -> "Blake2b512Rng":
+        return cls()
+
+    def feed_bytes(self, data: bytes) -> None:
+        """Absorb raw serialized bytes (caller already encoded the message)."""
+        self._h.update(data)
+
+    def feed(self, msg) -> None:
+        """Absorb a message. Accepts raw `bytes` (pre-serialized) or any
+        object exposing `serialize_uncompressed()`."""
+        if isinstance(msg, (bytes, bytearray)):
+            self._h.update(bytes(msg))
+        else:
+            self._h.update(msg.serialize_uncompressed())
+
+    def fill_bytes(self, n: int) -> bytes:
+        out = bytearray()
+        block = self._h.copy().digest()
+        ptr = 0
+        while len(out) < n:
+            out.append(block[ptr])
+            ptr += 1
+            if ptr == _BLOCK:
+                self._h.update(block)
+                block = self._h.copy().digest()
+                ptr = 0
+        self._h.update(block)
+        return bytes(out)
+
+    def next_u32(self) -> int:
+        return int.from_bytes(self.fill_bytes(4), "little")
+
+    def next_u64(self) -> int:
+        return int.from_bytes(self.fill_bytes(8), "little")
+
+
+def fr_rand(rng) -> int:
+    """Sample a uniform Fr exactly as `ark_ff::UniformRand` does; returns the
+    canonical residue as a Python int."""
+    while True:
+        limbs = [rng.next_u64() for _ in range(4)]
+        limbs[3] &= (1 << 63) - 1  # shave 256 - 255 = 1 bit
+        mont = limbs[0] | (limbs[1] << 64) | (limbs[2] << 128) | (limbs[3] << 192)
+        if mont < P:
+            return (mont * R_INV) % P

@@ -1,0 +1,35 @@
+"""Framework configuration (the reference has only Cargo features,
+`Cargo.toml:55-58`; SURVEY.md §5 calls for a small runtime config here).
+
+Environment overrides:
+- ``SUMCHECK_TPU_DEVICE_THRESHOLD``: table length (lanes) above which prover
+  rounds run on the JAX device engine; at or below, the vectorized NumPy host
+  engine is used (tail rounds are tiny — host is faster than a kernel launch,
+  and small test cases never pay XLA compile time).
+- ``SUMCHECK_TPU_ENGINE``: force ``device`` | ``host`` | ``auto`` (default).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class Config:
+    device_threshold: int = int(os.environ.get("SUMCHECK_TPU_DEVICE_THRESHOLD", 1 << 12))
+    engine: str = os.environ.get("SUMCHECK_TPU_ENGINE", "auto")  # auto|device|host
+
+    def use_device(self, table_len: int) -> bool:
+        if self.engine == "device":
+            return True
+        if self.engine == "host":
+            return False
+        return table_len > self.device_threshold
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
