@@ -8,6 +8,23 @@ BLS12-381 scalar field with a bit-exact arkworks-compatible Blake2b-512
 Fiat-Shamir transcript.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA/Mosaic compilation cache: per-round-shape kernels compile
+# once per machine, not once per process. (The JAX_COMPILATION_CACHE_DIR env
+# var is not honored in this environment; the config knob is.)
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .data_structures import ListOfProductsOfPolynomials, PolynomialInfo
 from .fields.fr import Fr
 from .gkr_round_sumcheck import GKRProof, GKRRoundSumcheck, GKRRoundSumcheckSubClaim

@@ -20,8 +20,6 @@ digits stay < 2^22; overflow bounds are noted inline.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,20 +34,26 @@ _LANE_SUM_MAX = 1 << (32 - DIGIT_BITS)
 _D = NUM_DIGITS
 
 
-@functools.lru_cache(maxsize=None)
 def _diag_masks(nlanes_ndim: int):
     """Masks selecting, in the (17, 16) skew-reshape of the padded outer
     product, the entries of anti-diagonal r (low) and r+16 (high) in column r.
 
     Column r of the skew layout holds: rows q <= r -> diagonal r, row r+1 ->
     the zero pad, rows q >= r+2 -> diagonal r+16.
+
+    Built from iota in-trace (no captured array constants — required inside
+    Pallas kernels; XLA constant-folds them in ordinary jit).
     """
-    q = np.arange(_D + 1)[:, None]
-    r = np.arange(_D)[None, :]
-    shape = (_D + 1, _D) + (1,) * nlanes_ndim
-    low = (q <= r).astype(np.uint32).reshape(shape)
-    high = (q >= r + 2).astype(np.uint32).reshape(shape)
-    return low, high  # numpy constants (safe to cache across traces)
+    import jax
+
+    shape = (_D + 1, _D) + (1,) * max(nlanes_ndim, 0)
+    if nlanes_ndim < 1:
+        shape = (_D + 1, _D)
+    q = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    low = (q <= r).astype(jnp.uint32)
+    high = (q >= r + 2).astype(jnp.uint32)
+    return low, high
 
 
 def _diag_sums(m):
@@ -58,14 +62,28 @@ def _diag_sums(m):
     pad = jnp.zeros((_D, 1) + lanes, _U32)
     skew = jnp.concatenate([m, pad], axis=1).reshape((_D + 1, _D) + lanes)
     mask_low, mask_high = _diag_masks(len(lanes))
-    low = jnp.sum(skew * mask_low, axis=0)  # (16, B): diagonals 0..15
-    high = jnp.sum(skew * mask_high, axis=0)  # (16, B): diagonals 16..31
+    # sum in int32: Mosaic lacks unsigned reductions; 17 terms < 2^16 each
+    skew_i = skew.astype(jnp.int32)
+    low = jnp.sum(skew_i * mask_low.astype(jnp.int32), axis=0).astype(_U32)
+    high = jnp.sum(skew_i * mask_high.astype(jnp.int32), axis=0).astype(_U32)
     return jnp.concatenate([low, high], axis=0)
 
 
 def _mul_wide(a, b):
     """Strict (16, *B) x (16, *B) -> relaxed (32, *B) digits < 2^21."""
     prod = a[:, None] * b[None, :]  # (16, 16, B); exact: < (2^16-1)^2 < 2^32
+    return _combine_wide(prod)
+
+
+def _mul_wide_const(a, digits):
+    """Strict (16, *B) x compile-time digit tuple -> relaxed (32, *B).
+
+    Digit products are scalar multiplies (no captured constant arrays)."""
+    prod = jnp.stack([a * _U32(d) for d in digits], axis=1)  # (16, 16, B)
+    return _combine_wide(prod)
+
+
+def _combine_wide(prod):
     s_lo = _diag_sums(prod & DIGIT_MASK)
     s_hi = _diag_sums(prod >> DIGIT_BITS)
     # weight the hi parts by 2^16 = shift up one digit (s_hi[31] is 0)
@@ -85,23 +103,18 @@ def _chain(rows, carry_in=None):
     return out, carry
 
 
-def _const_col(digits, nlanes_ndim: int):
-    return np.asarray(digits, dtype=np.uint32).reshape((_D,) + (1,) * nlanes_ndim)
-
-
-def mont_mul(a, b):
-    """Montgomery multiply: a*b*R^-1 mod p, strict reduced digits in and out."""
-    lanes_ndim = max(a.ndim, b.ndim) - 1
-    x = _mul_wide(a, b)  # (32, B) relaxed < 2^21
+def _mont_reduce(x):
+    """Full-word Montgomery reduction of a relaxed 32-row wide product:
+    returns strict reduced (x * R^-1 mod p) as (16, B)."""
     # normalize the low half: strict X mod 2^256 and its carry into digit 16
     xlo_rows, c16 = _chain([x[i] for i in range(_D)])
     xlo = jnp.stack(xlo_rows)
     # m = (X mod 2^256) * (-p^-1) mod 2^256
-    m_relaxed = _mul_wide(xlo, _const_col(NINV_DIGITS, lanes_ndim))
+    m_relaxed = _mul_wide_const(xlo, NINV_DIGITS)
     m_rows, _ = _chain([m_relaxed[i] for i in range(_D)])  # carry dropped: mod 2^256
     m = jnp.stack(m_rows)
     # X + m*p == 0 mod 2^256; result = (X + m*p) >> 256 < 2p
-    mp = _mul_wide(m, _const_col(P_DIGITS, lanes_ndim))  # (32, B) < 2^21
+    mp = _mul_wide_const(m, P_DIGITS)  # (32, B) < 2^21
     y_lo = xlo + mp[:_D]  # < 2^17
     # low half contributes only its carry chain (its strict digits are zero)
     carry = jnp.zeros_like(y_lo[0])
@@ -110,6 +123,38 @@ def mont_mul(a, b):
     y_hi = [x[_D] + c16 + mp[_D] + carry] + [x[i] + mp[i] for i in range(_D + 1, 2 * _D)]
     res_rows, _ = _chain(y_hi)  # value < 2p fits 16 digits
     return jnp.stack(_cond_sub_p(res_rows))
+
+
+def mont_mul(a, b):
+    """Montgomery multiply: a*b*R^-1 mod p, strict reduced digits in and out."""
+    return _mont_reduce(_mul_wide(a, b))
+
+
+def mont_mul_const(a, digits: tuple):
+    """Montgomery multiply by a compile-time digit tuple (Pallas-safe)."""
+    return _mont_reduce(_mul_wide_const(a, digits))
+
+
+def cond_sub_p(a):
+    """Public conditional subtraction: strict (16, ...) in [0, 2p) -> [0, p)."""
+    return jnp.stack(_cond_sub_p([a[i] for i in range(_D)]))
+
+
+def reduce_wide(wide):
+    """Strict wide digits (W, ...), 16 < W <= 32 -> (16, ...) reduced mod p.
+
+    Device analog of `limbs_np.reduce_wide`: value = hi*2^256 + lo with
+    hi*2^256 == montmul(hi, R^2) (mod p); lo < 2^256 < 4p."""
+    from .fr import R2
+
+    w = wide.shape[0]
+    assert _D < w <= 2 * _D
+    r2_digits = tuple((R2 >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(_D))
+    lo = cond_sub_p(cond_sub_p(wide[:_D]))
+    hi = jnp.concatenate(
+        [wide[_D:], jnp.zeros((2 * _D - w,) + wide.shape[1:], _U32)], axis=0
+    )
+    return add(lo, mont_mul_const(hi, r2_digits))
 
 
 def _cond_sub_p(rows):
@@ -172,8 +217,11 @@ def sum_lanes_wide(a, axis: int = 1):
 
 
 def wide_to_int(w: np.ndarray) -> int:
-    """Host: strict wide digit column -> Python int (not mod-reduced)."""
+    """Host: wide digit column -> Python int (not mod-reduced).
+
+    Uses addition, not OR: digits may be *relaxed* (> 16 bits — e.g. the
+    result of a cross-shard psum of strict digit vectors)."""
     v = 0
     for i in range(w.shape[0]):
-        v |= int(w[i]) << (DIGIT_BITS * i)
+        v += int(w[i]) << (DIGIT_BITS * i)
     return v

@@ -135,7 +135,19 @@ class GKRRoundSumcheck:
         dim = f2.num_vars
         g = list(g)
 
-        h_g, f1_g = initialize_phase_one(f1, f3, g)
+        from .utils.config import get_config
+
+        use_device_init = get_config().use_device(f1.num_nonzero)
+        phase2_carry = None
+        if use_device_init:
+            from .ops.gkr_init import phase1_init_device
+
+            hg_arr, phase2_carry = phase1_init_device(
+                f1.indices, f1.values, f3.evals, g, dim
+            )
+            h_g = DenseMLE(dim, hg_arr)
+        else:
+            h_g, f1_g = initialize_phase_one(f1, f3, g)
         phase1_ps = start_phase1_sumcheck(h_g, f2)
         phase1_vm = None
         phase1_msgs = []
@@ -148,7 +160,12 @@ class GKRRoundSumcheck:
             phase1_vm = vm
             u.append(vm.randomness)
 
-        f1_gu = initialize_phase_two(f1_g, u)
+        if use_device_init:
+            from .ops.gkr_init import phase2_init_device
+
+            f1_gu = DenseMLE(dim, phase2_init_device(phase2_carry, u, dim))
+        else:
+            f1_gu = initialize_phase_two(f1_g, u)
         phase2_ps = start_phase2_sumcheck(f1_gu, f3, f2.evaluate(u))
         phase2_vm = None
         phase2_msgs = []

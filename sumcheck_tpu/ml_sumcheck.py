@@ -21,6 +21,42 @@ from .transcript.blake2b_rng import Blake2b512Rng
 Proof = list  # Proof = list[ProverMsg]
 
 
+def serialize_proof(proof: list[ProverMsg]) -> bytes:
+    """arkworks-compatible `Vec<ProverMsg>` encoding: u64 LE length prefix,
+    then each message (itself a length-prefixed `Vec<Fr>`)."""
+    from .transcript.serialize import serialize_u64
+
+    return serialize_u64(len(proof)) + b"".join(
+        m.serialize_uncompressed() for m in proof
+    )
+
+
+def deserialize_proof(data: bytes) -> list[ProverMsg]:
+    """Inverse of `serialize_proof`."""
+    from .fields.fr import Fr, MODULUS_BYTES
+
+    off = 0
+
+    def u64():
+        nonlocal off
+        v = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        return v
+
+    n = u64()
+    proof = []
+    for _ in range(n):
+        k = u64()
+        evals = []
+        for _ in range(k):
+            evals.append(Fr.deserialize_uncompressed(data[off : off + MODULUS_BYTES]))
+            off += MODULUS_BYTES
+        proof.append(ProverMsg(evals))
+    if off != len(data):
+        raise ValueError("trailing bytes in proof encoding")
+    return proof
+
+
 class MLSumcheck:
     """Sumcheck for sums of products of multilinear polynomials."""
 

@@ -1,0 +1,177 @@
+"""Fused Pallas TPU kernel for the MLSumcheck round step.
+
+One HBM pass per round (vs. several for the fused-by-XLA jnp engine): each
+grid step streams four input stripes into VMEM, folds by the challenge,
+evaluates the round polynomial at t = 0..d for every product, block-reduces,
+and writes the folded halves back — fold + evaluate + reduce in one kernel
+(SURVEY.md Stage 3 "one fused Pallas kernel per round").
+
+Table representation: the bit-reversed table T of length M is carried as the
+half-pair `(lo, hi) = (T[:M/2], T[M/2:])`, each `(NUM_DIGITS, U+1, M/2)
+uint32`. This pair form is *closed* under the round:
+
+    folded[k]     = lo[k] + r*(hi[k] - lo[k])             (fold, k < M/2)
+    new_lo[k]     = folded[k]          = fold(lo[k],     hi[k])
+    new_hi[k]     = folded[k + M/4]    = fold(lo[k+M/4], hi[k+M/4])
+    round pair k  = (folded[k], folded[k + M/4]) = (new_lo[k], new_hi[k])
+
+so the kernel reads stripes {lo@k, lo@k+M/4, hi@k, hi@k+M/4}, writes
+(new_lo@k, new_hi@k), and feeds the pair straight into the evaluation ladder.
+Digit axis stays leading (blocks are (16, U+1, BN)); lanes are table indices.
+
+Per-block partial sums are emitted relaxed (< BN * 2^16 per digit) into a
+tiny (nblk, d+1, 16) output and finished exactly outside the kernel — the
+in-XLA equivalent of the reference's rayon tree reduction
+(`prover.rs:138-148`).
+
+Product structure (indices, degree) is static per kernel; coefficients and
+the challenge are runtime operands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import limbs_jnp as LJ
+from ..fields.fr import NUM_DIGITS
+
+_LANE = 128
+
+
+def _block_sums(E, O, coeff_cols, products, degree):
+    """Round-poly partial sums for one block pair.
+
+    E, O: (16, U+1, BN) strict digit blocks (start / start+step source).
+    coeff_cols: list of (16, 1) per-product Montgomery coefficient columns.
+    Returns (degree+1, 16) uint32, digits relaxed (< BN * 2^16).
+    """
+    step = LJ.sub(O, E)
+    ladder = [E]
+    for _ in range(degree):
+        ladder.append(LJ.add(ladder[-1], step))
+    rows = []
+    for t in range(degree + 1):
+        Et = ladder[t]
+        tot = None
+        for pi, ix in enumerate(products):
+            term = LJ.mont_mul(coeff_cols[pi], Et[:, ix[0]])
+            for jx in ix[1:]:
+                term = LJ.mont_mul(term, Et[:, jx])
+            tot = term if tot is None else LJ.add(tot, term)
+        # Mosaic lacks unsigned reductions; int32 is exact (< BN * 2^16 < 2^31)
+        rows.append(jnp.sum(tot.astype(jnp.int32), axis=-1).astype(jnp.uint32))
+    return jnp.stack(rows)  # (d+1, 16)
+
+
+def _kernel_fold(products, degree, r_ref, coeff_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
+                 flo_ref, fhi_ref, part_ref):
+    r_col = r_ref[:, 0:1][:, :, None]  # (16, 1, 1)
+    lo0, lo1 = lo0_ref[:], lo1_ref[:]
+    hi0, hi1 = hi0_ref[:], hi1_ref[:]
+    new_lo = LJ.add(lo0, LJ.mont_mul(LJ.sub(hi0, lo0), r_col))
+    new_hi = LJ.add(lo1, LJ.mont_mul(LJ.sub(hi1, lo1), r_col))
+    flo_ref[:] = new_lo
+    fhi_ref[:] = new_hi
+    coeff_cols = [coeff_ref[pi, :, 0:1] for pi in range(len(products))]
+    part_ref[0] = _block_sums(new_lo, new_hi, coeff_cols, products, degree)
+
+
+def _kernel_nofold(products, degree, r_ref, coeff_ref, lo_ref, hi_ref, part_ref):
+    coeff_cols = [coeff_ref[pi, :, 0:1] for pi in range(len(products))]
+    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], coeff_cols, products, degree)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: bool,
+           block: int, interpret: bool):
+    """Compile the fused round for one shape. `half` = current M/2 (the lo/hi
+    length). Returns fn(lo, hi, r128, coeffs128) -> ((new_lo, new_hi) | None,
+    partials (nblk, d+1, 16))."""
+    import jax.experimental.pallas as pl
+
+    U1 = num_slots
+    d1 = degree + 1
+    if do_fold:
+        quarter = half // 2
+        nblk = quarter // block
+        assert nblk >= 1 and quarter % block == 0
+        tbl = lambda off: pl.BlockSpec(  # noqa: E731
+            (NUM_DIGITS, U1, block), lambda j, off=off: (0, 0, j + off)
+        )
+        kernel = functools.partial(_kernel_fold, products, degree)
+        fn = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((NUM_DIGITS, _LANE), lambda j: (0, 0)),  # r
+                pl.BlockSpec((len(products), NUM_DIGITS, _LANE), lambda j: (0, 0, 0)),
+                tbl(0),      # lo @ k
+                tbl(nblk),   # lo @ k + M/4
+                tbl(0),      # hi @ k
+                tbl(nblk),   # hi @ k + M/4
+            ],
+            out_specs=[
+                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NUM_DIGITS, U1, quarter), jnp.uint32),
+                jax.ShapeDtypeStruct((NUM_DIGITS, U1, quarter), jnp.uint32),
+                jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32),
+            ],
+            interpret=interpret,
+        )
+
+        def run(lo, hi, r128, coeffs128):
+            new_lo, new_hi, part = fn(r128, coeffs128, lo, lo, hi, hi)
+            return (new_lo, new_hi), _finish(part)
+
+    else:
+        nblk = half // block
+        assert nblk >= 1 and half % block == 0
+        kernel = functools.partial(_kernel_nofold, products, degree)
+        fn = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((NUM_DIGITS, _LANE), lambda j: (0, 0)),
+                pl.BlockSpec((len(products), NUM_DIGITS, _LANE), lambda j: (0, 0, 0)),
+                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+            ],
+            out_specs=[pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32)],
+            interpret=interpret,
+        )
+
+        def run(lo, hi, r128, coeffs128):
+            (part,) = fn(r128, coeffs128, lo, hi)
+            return None, _finish(part)
+
+    def _finish(part):
+        """(nblk, d+1, 16) relaxed partials -> (WIDE, d+1) exact strict sums."""
+        # normalize each block's digits (value < BN * 2^16 * 2^16 fits 20)
+        rows = jnp.moveaxis(part, -1, 0)  # (16, nblk, d+1)
+        pad = [jnp.zeros_like(rows[0])] * (LJ.WIDE_DIGITS - NUM_DIGITS)
+        strict, _ = LJ._chain([rows[i] for i in range(NUM_DIGITS)] + pad)
+        return LJ.sum_lanes_wide(jnp.stack(strict), axis=1)  # (WIDE, d+1)
+
+    return jax.jit(run)
+
+
+def round_pallas(lo, hi, r128, coeffs128, products: tuple, degree: int,
+                 do_fold: bool, block: int = 1024, interpret: bool = False):
+    """Run one fused round on the (lo, hi) table pair.
+
+    lo, hi: (16, U+1, half) uint32; r128/coeffs128: (16, 128) / (P, 16, 128)
+    lane-replicated operands. Returns ((new_lo, new_hi) | None, wide sums).
+    """
+    half = lo.shape[2]
+    block = min(block, (half // 2 if do_fold else half))
+    fn = _build(half, lo.shape[1], products, degree, do_fold, block, interpret)
+    return fn(lo, hi, r128, coeffs128)

@@ -56,15 +56,15 @@ def inverse_sharded_perm(nv: int, k: int) -> np.ndarray:
 
 
 def to_sharded_layout(evals_mont: np.ndarray, nv: int, k: int) -> np.ndarray:
-    """Natural-order host digit table -> shard-blocked bitrev layout."""
+    """Natural-order host digit table (..., 2^nv) -> shard-blocked bitrev."""
     out = np.empty_like(evals_mont)
-    out[:, sharded_perm(nv, k)] = evals_mont
+    out[..., sharded_perm(nv, k)] = evals_mont
     return out
 
 
 def from_sharded_layout(arr: np.ndarray, nv: int, k: int) -> np.ndarray:
-    """Shard-blocked bitrev layout -> natural-order host digit table."""
-    return arr[:, sharded_perm(nv, k)]
+    """Shard-blocked bitrev layout (..., 2^nv) -> natural-order table."""
+    return arr[..., sharded_perm(nv, k)]
 
 
 def default_mesh(num_devices: int | None = None):

@@ -30,6 +30,12 @@ class _HostBackend:
 
         return np.stack(rows, axis=axis)
 
+    @staticmethod
+    def take(arr, idx, axis):
+        import numpy as np
+
+        return np.take(arr, idx, axis=axis)
+
 
 class _DeviceBackend:
     add = staticmethod(limbs_jnp.add)
@@ -43,6 +49,12 @@ class _DeviceBackend:
 
         return jnp.stack(rows, axis=axis)
 
+    @staticmethod
+    def take(arr, idx, axis):
+        import jax.numpy as jnp
+
+        return jnp.take(arr, idx, axis=axis)
+
 
 HOST = _HostBackend
 DEVICE = _DeviceBackend
@@ -52,36 +64,38 @@ def fold_tables(ops, stacked, r_col):
     """One variable fold in bit-reversed layout (all tables at once):
     new = first_half + r * (second_half - first_half).
 
-    stacked: (16, U+1, n); r_col: (16, 1, 1). Returns (16, U+1, n//2).
+    stacked: (16, [B,] U+1, n); r_col broadcastable (16, [B,] 1, 1).
+    Returns (16, [B,] U+1, n//2). The optional B axis batches independent
+    instances (throughput mode), each with its own challenge.
     """
-    m = stacked.shape[2] // 2
-    even = stacked[:, :, :m]
-    odd = stacked[:, :, m:]
+    m = stacked.shape[-1] // 2
+    even = stacked[..., :m]
+    odd = stacked[..., m:]
     return ops.add(even, ops.mont_mul(ops.sub(odd, even), r_col))
 
 
 def round_sums(ops, stacked, coeffs, idx_mat, degree: int):
     """Evaluate the round polynomial at t = 0..degree and lane-reduce.
 
-    stacked: (16, U+1, m) bitrev tables (slot U = constant ones).
-    coeffs:  (16, P, 1, 1) Montgomery digit columns.
+    stacked: (16, [B,] U+1, m) bitrev tables (slot U = constant ones).
+    coeffs:  (16, [B,] P, 1, 1) Montgomery digit columns.
     idx_mat: (P, L) integer table indices (ragged products padded with U).
-    Returns (WIDE_DIGITS, degree+1) uint32 — exact integer sums of Montgomery
-    residues (host reduces mod p).
+    Returns (WIDE_DIGITS, [B,] degree+1) uint32 — exact integer sums of
+    Montgomery residues (host reduces mod p).
     """
-    m2 = stacked.shape[2] // 2
-    even = stacked[:, :, :m2]
-    step = ops.sub(stacked[:, :, m2:], even)
+    m2 = stacked.shape[-1] // 2
+    even = stacked[..., :m2]
+    step = ops.sub(stacked[..., m2:], even)
     ladder = [even]
     for _ in range(degree):
         ladder.append(ops.add(ladder[-1], step))
-    evals = ops.stack(ladder, axis=2)  # (16, U+1, d+1, m2)
-    gathered = evals[:, idx_mat]  # (16, P, L, d+1, m2)
-    acc = gathered[:, :, 0]
-    for l in range(1, gathered.shape[2]):
-        acc = ops.mont_mul(acc, gathered[:, :, l])
-    acc = ops.mont_mul(coeffs, acc)  # (16, P, d+1, m2)
-    total = acc[:, 0]
-    for pi in range(1, acc.shape[1]):
-        total = ops.add(total, acc[:, pi])
-    return ops.sum_lanes_wide(total, axis=2)  # (WIDE, d+1)
+    evals = ops.stack(ladder, axis=-2)  # (16, [B,] U+1, d+1, m2)
+    gathered = ops.take(evals, idx_mat, axis=-3)  # (16, [B,] P, L, d+1, m2)
+    acc = gathered[..., 0, :, :]
+    for l in range(1, gathered.shape[-3]):
+        acc = ops.mont_mul(acc, gathered[..., l, :, :])
+    acc = ops.mont_mul(coeffs, acc)  # (16, [B,] P, d+1, m2)
+    total = acc[..., 0, :, :]
+    for pi in range(1, acc.shape[-3]):
+        total = ops.add(total, acc[..., pi, :, :])
+    return ops.sum_lanes_wide(total, axis=-1)  # (WIDE, [B,] d+1)

@@ -82,13 +82,15 @@ class ProverState:
 
     @property
     def num_tables(self) -> int:
-        return self.stacked.shape[1] - 1
+        arr = self.stacked[0] if isinstance(self.stacked, tuple) else self.stacked
+        return arr.shape[1] - 1
 
     @property
     def flattened_ml_extensions(self) -> list:
         """Per-table views (excluding the internal ones slot); mirrors the
         reference field of the same name."""
-        return [self.stacked[:, i] for i in range(self.num_tables)]
+        arr = self.stacked[0] if isinstance(self.stacked, tuple) else self.stacked
+        return [arr[:, i] for i in range(self.num_tables)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,8 +104,9 @@ def bitrev_perm(nv: int) -> np.ndarray:
 
 
 def to_bitrev(evals_mont: np.ndarray, nv: int) -> np.ndarray:
-    """Natural-order host digit table -> bit-reversed layout (involution)."""
-    return evals_mont[:, bitrev_perm(nv)]
+    """Natural-order host digit table (..., 2^nv) -> bit-reversed layout
+    (an involution)."""
+    return evals_mont[..., bitrev_perm(nv)]
 
 
 def prover_init(polynomial: ListOfProductsOfPolynomials) -> ProverState:
@@ -117,10 +120,18 @@ def prover_init(polynomial: ListOfProductsOfPolynomials) -> ProverState:
     tables = [to_bitrev(m.evals, nv) for m in polynomial.flattened_ml_extensions]
     tables.append(np.broadcast_to(L.mont_scalar(1), (NUM_DIGITS, n)))
     stacked = np.stack(tables, axis=1)  # (16, U+1, n)
-    if get_config().use_device(n):
+    cfg = get_config()
+    if cfg.use_device(n):
         import jax.numpy as jnp
 
-        stacked = jnp.asarray(stacked)
+        if cfg.use_pallas(n):
+            # fused-kernel engine carries the table as a (lo, hi) half pair
+            stacked = (
+                jnp.asarray(stacked[:, :, : n // 2]),
+                jnp.asarray(stacked[:, :, n // 2 :]),
+            )
+        else:
+            stacked = jnp.asarray(stacked)
     return ProverState(
         randomness=[],
         list_of_products=[(c, list(ix)) for c, ix in polynomial.products],
@@ -166,27 +177,64 @@ def _run_round(state: ProverState, r_col, do_fold: bool):
         [L.mont_scalar(c.v) for c, _ in state.list_of_products], axis=1
     )[:, :, :, None]  # (16, P, 1, 1)
 
-    n = state.stacked.shape[2]
-    on_device = not isinstance(state.stacked, np.ndarray)
-    if on_device and not get_config().use_device(n):
-        # crossed the threshold: move the (small) tables to host for good
-        state.stacked = np.asarray(state.stacked)
-        on_device = False
+    cfg = get_config()
+    is_pair = isinstance(state.stacked, tuple)
+    n = 2 * state.stacked[0].shape[2] if is_pair else state.stacked.shape[2]
+    on_device = is_pair or not isinstance(state.stacked, np.ndarray)
+    if on_device and not cfg.use_device(n):
+        # crossed the threshold: move the (small) tables to host for good.
+        # NOTE: the (lo, hi) pair concatenated IS the bit-reversed table.
+        if is_pair:
+            state.stacked = np.concatenate(
+                [np.asarray(state.stacked[0]), np.asarray(state.stacked[1])], axis=2
+            )
+        else:
+            state.stacked = np.asarray(state.stacked)
+        on_device = is_pair = False
 
-    if on_device:
-        import jax.numpy as jnp
-
-        fn = _compiled_round(n, len(idx_mat), max_len, degree, ones_slot + 1, do_fold)
-        new_stacked, sums = fn(
-            state.stacked, jnp.asarray(coeffs), jnp.asarray(idx_mat), jnp.asarray(r_col)
-        )
-        if do_fold:
-            state.stacked = new_stacked
-        return np.asarray(sums)
-    else:
+    if not on_device:
         if do_fold:
             state.stacked = engine.fold_tables(engine.HOST, state.stacked, r_col[:, None, :])
         return engine.round_sums(engine.HOST, state.stacked, coeffs, idx_mat, degree)
+
+    import jax.numpy as jnp
+
+    if is_pair:
+        from ..ops.round_pallas import round_pallas
+
+        products = tuple(
+            tuple(ix + [ones_slot] * (max_len - len(ix)))
+            for _, ix in state.list_of_products
+        )
+        r128 = jnp.asarray(np.broadcast_to(r_col, (NUM_DIGITS, 128)))
+        coeffs128 = jnp.asarray(
+            np.broadcast_to(
+                np.stack([L.mont_scalar(c.v) for c, _ in state.list_of_products]),
+                (len(products), NUM_DIGITS, 128),
+            )
+        )
+        new_pair, sums = round_pallas(
+            state.stacked[0],
+            state.stacked[1],
+            r128,
+            coeffs128,
+            products,
+            degree,
+            do_fold,
+            block=cfg.pallas_block,
+            interpret=cfg.pallas_interpret,
+        )
+        if do_fold:
+            state.stacked = new_pair
+        return np.asarray(sums)
+
+    fn = _compiled_round(n, len(idx_mat), max_len, degree, ones_slot + 1, do_fold)
+    new_stacked, sums = fn(
+        state.stacked, jnp.asarray(coeffs), jnp.asarray(idx_mat), jnp.asarray(r_col)
+    )
+    if do_fold:
+        state.stacked = new_stacked
+    return np.asarray(sums)
 
 
 def prove_round(prover_state: ProverState, v_msg) -> ProverMsg:

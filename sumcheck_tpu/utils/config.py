@@ -7,6 +7,9 @@ Environment overrides:
   engine is used (tail rounds are tiny — host is faster than a kernel launch,
   and small test cases never pay XLA compile time).
 - ``SUMCHECK_TPU_ENGINE``: force ``device`` | ``host`` | ``auto`` (default).
+- ``SUMCHECK_TPU_PALLAS``: ``auto`` (default: fused Pallas kernel on real TPU
+  backends), ``on`` (force, incl. interpret mode off-TPU), ``off`` (use the
+  XLA-fused jnp engine for device rounds).
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ from dataclasses import dataclass
 class Config:
     device_threshold: int = int(os.environ.get("SUMCHECK_TPU_DEVICE_THRESHOLD", 1 << 12))
     engine: str = os.environ.get("SUMCHECK_TPU_ENGINE", "auto")  # auto|device|host
+    pallas: str = os.environ.get("SUMCHECK_TPU_PALLAS", "auto")  # auto|on|off
+    pallas_block: int = int(os.environ.get("SUMCHECK_TPU_PALLAS_BLOCK", 1 << 9))
 
     def use_device(self, table_len: int) -> bool:
         if self.engine == "device":
@@ -26,6 +31,22 @@ class Config:
         if self.engine == "host":
             return False
         return table_len > self.device_threshold
+
+    def use_pallas(self, table_len: int) -> bool:
+        """Fused kernel needs >= 2 lane blocks after folding."""
+        if self.pallas == "off" or table_len < 4 * 128:
+            return False
+        if self.pallas == "on":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    @property
+    def pallas_interpret(self) -> bool:
+        import jax
+
+        return jax.default_backend() != "tpu"
 
 
 _config = Config()

@@ -18,6 +18,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob is
+# honored. Without this, "CPU" tests silently run on the real chip.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 import random  # noqa: E402
 

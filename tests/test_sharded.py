@@ -61,8 +61,16 @@ def test_sharded_prove_matches_single(rnd):
 
     single = MLSumcheck.prove(build())
 
-    prover = ShardedProver(default_mesh(8))
-    sharded = prover.prove(build())
+    from sumcheck_tpu.utils.config import get_config
+
+    cfg = get_config()
+    old = cfg.device_threshold
+    try:
+        cfg.device_threshold = 1  # force real shard_map rounds at tiny sizes
+        prover = ShardedProver(default_mesh(8))
+        sharded = prover.prove(build())
+    finally:
+        cfg.device_threshold = old
     assert all(a == b for a, b in zip(single, sharded)), "sharded proof differs"
 
     sub = MLSumcheck.verify(build().info(), MLSumcheck.extract_sum(sharded), sharded)
