@@ -34,63 +34,6 @@ _LANE_SUM_MAX = 1 << (32 - DIGIT_BITS)
 _D = NUM_DIGITS
 
 
-def _diag_masks(nlanes_ndim: int):
-    """Masks selecting, in the (17, 16) skew-reshape of the padded outer
-    product, the entries of anti-diagonal r (low) and r+16 (high) in column r.
-
-    Column r of the skew layout holds: rows q <= r -> diagonal r, row r+1 ->
-    the zero pad, rows q >= r+2 -> diagonal r+16.
-
-    Built from iota in-trace (no captured array constants — required inside
-    Pallas kernels; XLA constant-folds them in ordinary jit).
-    """
-    import jax
-
-    shape = (_D + 1, _D) + (1,) * max(nlanes_ndim, 0)
-    if nlanes_ndim < 1:
-        shape = (_D + 1, _D)
-    q = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    low = (q <= r).astype(jnp.uint32)
-    high = (q >= r + 2).astype(jnp.uint32)
-    return low, high
-
-
-def _diag_sums(m):
-    """(16, 16, *B) entries < 2^16 -> (32, *B) anti-diagonal sums < 2^20."""
-    lanes = m.shape[2:]
-    pad = jnp.zeros((_D, 1) + lanes, _U32)
-    skew = jnp.concatenate([m, pad], axis=1).reshape((_D + 1, _D) + lanes)
-    mask_low, mask_high = _diag_masks(len(lanes))
-    # sum in int32: Mosaic lacks unsigned reductions; 17 terms < 2^16 each
-    skew_i = skew.astype(jnp.int32)
-    low = jnp.sum(skew_i * mask_low.astype(jnp.int32), axis=0).astype(_U32)
-    high = jnp.sum(skew_i * mask_high.astype(jnp.int32), axis=0).astype(_U32)
-    return jnp.concatenate([low, high], axis=0)
-
-
-def _mul_wide(a, b):
-    """Strict (16, *B) x (16, *B) -> relaxed (32, *B) digits < 2^21."""
-    prod = a[:, None] * b[None, :]  # (16, 16, B); exact: < (2^16-1)^2 < 2^32
-    return _combine_wide(prod)
-
-
-def _mul_wide_const(a, digits):
-    """Strict (16, *B) x compile-time digit tuple -> relaxed (32, *B).
-
-    Digit products are scalar multiplies (no captured constant arrays)."""
-    prod = jnp.stack([a * _U32(d) for d in digits], axis=1)  # (16, 16, B)
-    return _combine_wide(prod)
-
-
-def _combine_wide(prod):
-    s_lo = _diag_sums(prod & DIGIT_MASK)
-    s_hi = _diag_sums(prod >> DIGIT_BITS)
-    # weight the hi parts by 2^16 = shift up one digit (s_hi[31] is 0)
-    s_hi_shifted = jnp.concatenate([jnp.zeros((1,) + s_hi.shape[1:], _U32), s_hi[:-1]], axis=0)
-    return s_lo + s_hi_shifted
-
-
 def _chain(rows, carry_in=None):
     """Sequential carry propagation over a list of relaxed rows -> (strict
     rows, carry_out)."""
@@ -125,14 +68,100 @@ def _mont_reduce(x):
     return jnp.stack(_cond_sub_p(res_rows))
 
 
+def _cios(a, bj_rows, bshape):
+    """Finely-interleaved Montgomery product (CIOS, 16-bit words).
+
+    `bj_rows[j]` yields the j-th digit of b — a traced row or a Python int
+    (constant digits: zero rows skip the multiply pass entirely). The key
+    uint32 identity: x*y + c1 + c2 < 2^32 for 16-bit x, y, c1, c2, so every
+    accumulator cell stays exact in uint32 with no wide intermediates — this
+    beats the outer-product/anti-diagonal schedule ~5x on TPU (fewer
+    multiplies, no (16,16,lanes) scratch tensors).
+    """
+    sh = jnp.broadcast_shapes(a.shape[1:], bshape)
+    zero = jnp.zeros(sh, _U32)
+    acc = [zero] * (_D + 2)
+    for j in range(_D):
+        acc = _cios_body(a, bj_rows[j], acc, zero)
+    # final value < 2p < 2^256 (R = 2^256 > 4p), so acc[_D] == 0 here
+    return jnp.stack(_cond_sub_p(acc[:_D]))
+
+
+def _cios_body(a, bj, rows, zero):
+    """One CIOS outer iteration on an explicit row list (shared by the
+    unrolled and fori variants). rows: list of _D+2 accumulator rows."""
+    C = zero
+    skip_mult = isinstance(bj, int) and bj == 0
+    if not skip_mult:
+        bj = _U32(bj) if isinstance(bj, int) else bj
+        for i in range(_D):
+            t = rows[i] + a[i] * bj + C  # exact: < 2^32 (16-bit operands)
+            rows[i] = t & DIGIT_MASK
+            C = t >> DIGIT_BITS
+        t = rows[_D] + C
+        rows[_D] = t & DIGIT_MASK
+        rows[_D + 1] = rows[_D + 1] + (t >> DIGIT_BITS)
+    # Montgomery step: kill digit 0, shift everything down one digit
+    m = (rows[0] * _U32(NINV_DIGITS[0])) & DIGIT_MASK
+    t = rows[0] + m * _U32(P_DIGITS[0])  # ≡ 0 mod 2^16
+    C = t >> DIGIT_BITS
+    for i in range(1, _D):
+        t = rows[i] + m * _U32(P_DIGITS[i]) + C
+        rows[i - 1] = t & DIGIT_MASK
+        C = t >> DIGIT_BITS
+    t = rows[_D] + C
+    rows[_D - 1] = t & DIGIT_MASK
+    rows[_D] = rows[_D + 1] + (t >> DIGIT_BITS)
+    rows[_D + 1] = zero
+    return rows
+
+
+def _cios_fori(a, b_rows, bshape):
+    """CIOS with the outer digit loop as `lax.fori_loop`. Functionally
+    identical to the unrolled form but with a 16x smaller trace — XLA:CPU's
+    compile time explodes on the long unrolled carry chains (hours for two
+    chained multiplies), and CPU is the test/verify backend, not the perf
+    target. b_rows: (16, *bshape) array of b's digit rows."""
+    import jax
+
+    sh = jnp.broadcast_shapes(a.shape[1:], bshape)
+    zero = jnp.zeros(sh, _U32)
+    acc0 = jnp.stack([zero] * (_D + 2))
+
+    def body(j, acc):
+        bj = b_rows[j]
+        rows = [acc[i] for i in range(_D + 2)]
+        return jnp.stack(_cios_body(a, bj, rows, zero))
+
+    acc = jax.lax.fori_loop(0, _D, body, acc0)
+    return jnp.stack(_cond_sub_p([acc[i] for i in range(_D)]))
+
+
+def _unrolled_ok() -> bool:
+    """Unrolled CIOS only where the compiler digests it: real TPU (incl.
+    inside Pallas kernels, which only run there)."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def mont_mul(a, b):
     """Montgomery multiply: a*b*R^-1 mod p, strict reduced digits in and out."""
-    return _mont_reduce(_mul_wide(a, b))
+    if _unrolled_ok():
+        return _cios(a, [b[j] for j in range(_D)], b.shape[1:])
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    # align b's lane dims to bshape under its leading digit axis
+    b_exp = b.reshape((_D,) + (1,) * (len(bshape) - (b.ndim - 1)) + b.shape[1:])
+    return _cios_fori(a, jnp.broadcast_to(b_exp, (_D,) + bshape), bshape)
 
 
 def mont_mul_const(a, digits: tuple):
     """Montgomery multiply by a compile-time digit tuple (Pallas-safe)."""
-    return _mont_reduce(_mul_wide_const(a, digits))
+    if _unrolled_ok():
+        return _cios(a, list(digits), ())
+    cols = jnp.asarray(np.array(digits, np.uint32).reshape((_D,) + (1,) * (a.ndim - 1)))
+    bshape = a.shape[1:]
+    return _cios_fori(a, jnp.broadcast_to(cols, (_D,) + bshape), bshape)
 
 
 def cond_sub_p(a):

@@ -83,6 +83,56 @@ def start_phase2_sumcheck(f1_gu: DenseMLE, f3: DenseMLE, f2_u: Fr) -> ProverStat
     return IPForMLSumcheck.prover_init(poly)
 
 
+def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
+                   g: Sequence[Fr], dim: int) -> "GKRProof":
+    """Whole-GKR-prove on device: phase-1 init, both dim-round sumchecks,
+    the phase-2 init (which consumes phase-1's challenges), and the
+    Fiat-Shamir transcript all chain on device; the host synchronizes once
+    at the end (same schedule as the host path — proofs are byte-identical).
+    """
+    import jax.numpy as jnp
+
+    from .ops import gkr_init as GI
+    from .protocol.device_prover import (
+        chain_rounds,
+        fetch_chain_outputs,
+        lift_transcript,
+        msgs_from_host,
+        restore_transcript,
+    )
+
+    hg_dev, (x, y, w) = GI.phase1_init_device_arrays(f1, f3, list(g), dim)
+    lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
+
+    ts = lift_transcript(rng)
+    products = ((0, 1),)
+    coeffs = jnp.asarray(L.mont_scalar(1))[:, :1]  # (16, 1): coefficient 1
+
+    msgs1, rs1, carry, blen, pair1 = chain_rounds(
+        lo1, hi1, ts.carry(), ts.blen, products, 2, coeffs, dim
+    )
+    # f2(u): the chain left every table folded dim-1 times (1 lane); one more
+    # fold by the final challenge evaluates slot 1 = f2 at u.
+    f2_u = GI._compiled_final_fold(1)(pair1[0], pair1[1], rs1[-1])
+    f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
+        x, y, w, jnp.stack(rs1)
+    )
+    lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
+
+    msgs2, rs2, carry, blen, _ = chain_rounds(
+        lo2, hi2, carry, blen, products, 2, coeffs, dim
+    )
+
+    # ONE synchronization for both phases + final transcript state
+    msgs_h, _rs_h, carry_h = fetch_chain_outputs(
+        msgs1 + msgs2, rs1 + rs2, carry, 2
+    )
+    restore_transcript(rng, carry_h, blen)
+    return GKRProof(
+        msgs_from_host(msgs_h[:dim], 2), msgs_from_host(msgs_h[dim:], 2)
+    )
+
+
 class GKRProof:
     """Proof for a GKR round function (reference `data_structures.rs:9-19`)."""
 
@@ -135,7 +185,15 @@ class GKRRoundSumcheck:
         dim = f2.num_vars
         g = list(g)
 
+        from .transcript.blake2b_rng import Blake2b512Rng
         from .utils.config import get_config
+
+        if (
+            get_config().use_chained(max(f1.num_nonzero, 1 << dim))
+            and isinstance(rng, Blake2b512Rng)
+            and dim >= 1
+        ):
+            return _prove_chained(rng, f1, f2, f3, g, dim)
 
         use_device_init = get_config().use_device(f1.num_nonzero)
         phase2_carry = None

@@ -78,8 +78,24 @@ class MLSumcheck:
         fs_rng, polynomial: ListOfProductsOfPolynomials
     ) -> tuple[list[ProverMsg], ProverState]:
         """Prove over a caller-supplied transcript; returns the prover state
-        too, for composition into larger protocols (reference `mod.rs:50-70`)."""
+        too, for composition into larger protocols (reference `mod.rs:50-70`).
+
+        When the table is device-sized and the transcript is ours, the whole
+        round loop (including Fiat-Shamir) runs chained on device with a
+        single final synchronization (`protocol/device_prover.py`); the proof
+        bytes are identical either way."""
+        from .utils.config import get_config
+
         fs_rng.feed(polynomial.info())
+        cfg = get_config()
+        if (
+            cfg.use_chained(1 << polynomial.num_variables)
+            and isinstance(fs_rng, Blake2b512Rng)
+            and polynomial.num_variables >= 1
+        ):
+            from .protocol.device_prover import prove_chained
+
+            return prove_chained(fs_rng, polynomial)
         prover_state = IPForMLSumcheck.prover_init(polynomial)
         verifier_msg = None
         prover_msgs = []

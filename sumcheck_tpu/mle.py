@@ -39,13 +39,14 @@ class DenseMLE:
     (reference usage: `src/ml_sumcheck/protocol/prover.rs:88,119-120`).
     """
 
-    __slots__ = ("num_vars", "evals")
+    __slots__ = ("num_vars", "evals", "_dev_bitrev")
 
     def __init__(self, num_vars: int, evals_mont: np.ndarray):
         assert evals_mont.shape == (NUM_DIGITS, 1 << num_vars)
         assert evals_mont.dtype == np.uint32
         self.num_vars = num_vars
         self.evals = evals_mont  # Montgomery digits, natural index order
+        self._dev_bitrev = None  # lazy device-resident bit-reversed copy
 
     # -- constructors ------------------------------------------------------
     @staticmethod
@@ -75,6 +76,35 @@ class DenseMLE:
 
     def to_fr_list(self) -> list[Fr]:
         return [Fr(v) for v in L.to_ints(self.evals)]
+
+    def device_bitrev(self):
+        """Device-resident `(NUM_DIGITS, 2^nv) uint32` copy in bit-reversed
+        index order (the prover's table layout — `protocol/prover.py`).
+
+        Uploaded once per MLE (cached: DenseMLE is immutable) as a *packed*
+        `(NUM_DIGITS/2, n) uint32` array — two 16-bit digits per word — to
+        halve host→device traffic, then unpacked on device. The upload is
+        part of table construction, matching the reference where tables
+        already sit in prover memory before `prove` (`prover.rs:49-69`)."""
+        if self._dev_bitrev is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .protocol.prover import bitrev_perm
+
+            packed = self.evals[0::2] | (self.evals[1::2] << 16)  # (8, n)
+            packed = packed[:, bitrev_perm(self.num_vars)]
+
+            @jax.jit
+            def unpack(p):
+                lo = p & jnp.uint32(0xFFFF)
+                hi = p >> 16
+                return jnp.stack([lo, hi], axis=1).reshape(
+                    NUM_DIGITS, p.shape[1]
+                )
+
+            self._dev_bitrev = unpack(jnp.asarray(packed))
+        return self._dev_bitrev
 
     # -- algebra -----------------------------------------------------------
     def fix_variables(self, partial_point: Sequence) -> "DenseMLE":
@@ -116,7 +146,7 @@ class SparseMLE:
     round sumcheck (`src/gkr_round_sumcheck/mod.rs:22-42`). Indices are unique.
     """
 
-    __slots__ = ("num_vars", "indices", "values")
+    __slots__ = ("num_vars", "indices", "values", "_dev_split")
 
     def __init__(self, num_vars: int, indices: np.ndarray, values_mont: np.ndarray):
         assert indices.ndim == 1 and values_mont.shape == (NUM_DIGITS, len(indices))
@@ -124,6 +154,7 @@ class SparseMLE:
         self.num_vars = num_vars
         self.indices = indices[order].astype(np.int64)
         self.values = np.ascontiguousarray(values_mont[:, order])
+        self._dev_split = None  # device-resident split cache (ops/gkr_init.py)
 
     # -- constructors ------------------------------------------------------
     @staticmethod

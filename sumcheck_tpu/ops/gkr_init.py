@@ -77,9 +77,9 @@ def _segment_reduce_mod_p(vals, seg_ids, num_segments: int):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_phase1(nnz: int, dim: int):
-    def fn(gbits, x, y, values, g_r, g_omr, f3_evals):
+    def fn(gbits, x, y_rev, values, g_r, g_omr, f3_bitrev):
         w = _weight_fold(gbits, values, g_r, g_omr, dim)
-        f3y = jnp.take(f3_evals, y, axis=1)  # (16, nnz)
+        f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
         wv = LJ.mont_mul(w, f3y)
         hg = _segment_reduce_mod_p(wv, x, 1 << dim)
         return hg, w
@@ -96,31 +96,72 @@ def _compiled_phase2(nnz: int, dim: int):
     return jax.jit(fn)
 
 
-def phase1_init_device(f1_indices: np.ndarray, f1_values: np.ndarray,
-                       f3_evals: np.ndarray, g: list[Fr], dim: int):
-    """Device h_g + fixed-f1 entries. Returns (h_g (16, 2^dim) np array,
-    (x, y, w) device arrays for phase 2).
+def phase1_init_device_arrays(f1, f3, g: list[Fr], dim: int):
+    """Device h_g + fixed-f1 entries, as device handles (no sync). Returns
+    (h_g (16, 2^dim) jax array, natural order; (x, y, w) arrays for phase 2).
 
     Full indices can exceed int32 (3*dim bits); they are pre-split host-side
     into the g-bits (low dim), x (middle dim) and y (top dim) components,
-    each < 2^dim."""
-    idx = f1_indices.astype(np.int64)
+    each < 2^dim. f3 is consumed through its cached bit-reversed device copy
+    (the y gather indices are bit-reversed host-side to compensate)."""
+    gbits_d, x_dev, y_dev, yrev_d, vals_d = _split_f1_device(f1, dim)
+    g_r, g_omr = _points_arrays(g)
+    fn = _compiled_phase1(int(vals_d.shape[1]), dim)
+    hg, w = fn(
+        gbits_d,
+        x_dev,
+        yrev_d,
+        vals_d,
+        jnp.asarray(g_r),
+        jnp.asarray(g_omr),
+        f3.device_bitrev(),
+    )
+    return hg, (x_dev, y_dev, w)
+
+
+def _split_f1_device(f1, dim: int):
+    """Device copies of f1's split index components + values, cached on the
+    (immutable) SparseMLE so repeated proves never re-upload."""
+    from ..protocol.prover import bitrev_perm
+
+    cache = getattr(f1, "_dev_split", None)
+    if cache is not None and cache[0] == dim:
+        return cache[1]
+    idx = np.asarray(f1.indices).astype(np.int64)
     mask = (1 << dim) - 1
     gbits = (idx & mask).astype(np.int32)
     x = ((idx >> dim) & mask).astype(np.int32)
     y = (idx >> (2 * dim)).astype(np.int32)
-    g_r, g_omr = _points_arrays(g)
-    fn = _compiled_phase1(len(f1_indices), dim)
-    hg, w = fn(
+    y_rev = bitrev_perm(dim)[y].astype(np.int32)
+    out = (
         jnp.asarray(gbits),
         jnp.asarray(x),
         jnp.asarray(y),
-        jnp.asarray(f1_values),
-        jnp.asarray(g_r),
-        jnp.asarray(g_omr),
-        jnp.asarray(f3_evals),
+        jnp.asarray(y_rev),
+        jnp.asarray(f1.values),
     )
-    return np.asarray(hg), (jnp.asarray(x), jnp.asarray(y), w)
+    try:
+        f1._dev_split = (dim, out)
+    except AttributeError:
+        pass  # slotted stand-ins (host wrapper) just skip the cache
+    return out
+
+
+def phase1_init_device(f1_indices, f1_values, f3_evals, g: list[Fr], dim: int):
+    """Host-facing wrapper: h_g as a NumPy array (see arrays variant)."""
+
+    class _F1:
+        indices, values = f1_indices, f1_values
+
+    class _F3:
+        @staticmethod
+        def device_bitrev():
+            from ..protocol.prover import to_bitrev
+
+            return jnp.asarray(to_bitrev(f3_evals, dim))
+
+    hg, carry = phase1_init_device_arrays(_F1, _F3, g, dim)
+    return np.asarray(hg), carry
 
 
 def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
@@ -129,3 +170,73 @@ def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
     u_r, u_omr = _points_arrays(u)
     fn = _compiled_phase2(int(x.shape[0]), dim)
     return np.asarray(fn(x, y, w, jnp.asarray(u_r), jnp.asarray(u_omr)))
+
+
+# ---------------------------------------------------------------------------
+# chained-GKR helpers: everything below stays on device (no host syncs)
+# ---------------------------------------------------------------------------
+
+
+def bitrev_cols(x, nv: int):
+    """(16, 2^nv) natural order -> bit-reversed, in-trace (iota bit math —
+    no captured permutation constants)."""
+    i = jax.lax.iota(jnp.int32, 1 << nv)
+    rev = jnp.zeros_like(i)
+    for b in range(nv):
+        rev = rev | (((i >> b) & 1) << (nv - 1 - b))
+    return jnp.take(x, rev, axis=1)
+
+
+def _ones_table(n: int):
+    return jnp.broadcast_to(jnp.asarray(L.mont_scalar(1)), (NUM_DIGITS, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_prep1(dim: int):
+    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1."""
+
+    def fn(hg_nat, f2_bitrev):
+        n = 1 << dim
+        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev, _ones_table(n)], axis=1)
+        return s[:, :, : n // 2], s[:, :, n // 2 :]
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_final_fold(slot: int):
+    """Fold the 1-lane final pair by the last challenge: table[slot](point)."""
+
+    def fn(lo, hi, r):  # lo, hi (16, U+1, 1); r (16,)
+        l, h = lo[:, slot, 0], hi[:, slot, 0]
+        return LJ.add(l, LJ.mont_mul(LJ.sub(h, l), r))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_phase2_digits(nnz: int, dim: int):
+    """Phase-2 init from on-device challenge digits (Montgomery form)."""
+
+    def fn(x, y, w, u_digits):  # u_digits (dim, 16)
+        one = jnp.asarray(L.mont_scalar(1))  # (16, 1)
+        r_pts = [u_digits[i][:, None] for i in range(dim)]
+        omr_pts = [LJ.sub(one, r) for r in r_pts]
+        w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
+        return _segment_reduce_mod_p(w2, y, 1 << dim)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_prep2(dim: int):
+    """[f1_gu (natural), f3 (bitrev), f2(u)] -> the phase-2 pair for
+    `f1_gu * (f2(u) * f3)` (reference `mod.rs:66-82`)."""
+
+    def fn(f1gu_nat, f3_bitrev, f2u):
+        n = 1 << dim
+        f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
+        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u, _ones_table(n)], axis=1)
+        return s[:, :, : n // 2], s[:, :, n // 2 :]
+
+    return jax.jit(fn)

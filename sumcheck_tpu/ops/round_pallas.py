@@ -39,14 +39,16 @@ import numpy as np
 from ..fields import limbs_jnp as LJ
 from ..fields.fr import NUM_DIGITS
 
-_LANE = 128
 
 
-def _block_sums(E, O, coeff_cols, products, degree):
+
+def _block_sums(E, O, coeff_blks, products, degree):
     """Round-poly partial sums for one block pair.
 
     E, O: (16, U+1, BN) strict digit blocks (start / start+step source).
-    coeff_cols: list of (16, 1) per-product Montgomery coefficient columns.
+    coeff_blks: list of (16, BN) per-product Montgomery coefficient blocks
+    (lane-replicated — Mosaic wants operands at full block width; no
+    sublane+lane double broadcasts inside the kernel).
     Returns (degree+1, 16) uint32, digits relaxed (< BN * 2^16).
     """
     step = LJ.sub(O, E)
@@ -58,7 +60,7 @@ def _block_sums(E, O, coeff_cols, products, degree):
         Et = ladder[t]
         tot = None
         for pi, ix in enumerate(products):
-            term = LJ.mont_mul(coeff_cols[pi], Et[:, ix[0]])
+            term = LJ.mont_mul(coeff_blks[pi], Et[:, ix[0]])
             for jx in ix[1:]:
                 term = LJ.mont_mul(term, Et[:, jx])
             tot = term if tot is None else LJ.add(tot, term)
@@ -69,20 +71,20 @@ def _block_sums(E, O, coeff_cols, products, degree):
 
 def _kernel_fold(products, degree, r_ref, coeff_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                  flo_ref, fhi_ref, part_ref):
-    r_col = r_ref[:, 0:1][:, :, None]  # (16, 1, 1)
+    r_blk = r_ref[:]  # (16, BN) lane-replicated challenge
     lo0, lo1 = lo0_ref[:], lo1_ref[:]
     hi0, hi1 = hi0_ref[:], hi1_ref[:]
-    new_lo = LJ.add(lo0, LJ.mont_mul(LJ.sub(hi0, lo0), r_col))
-    new_hi = LJ.add(lo1, LJ.mont_mul(LJ.sub(hi1, lo1), r_col))
+    new_lo = LJ.add(lo0, LJ.mont_mul(LJ.sub(hi0, lo0), r_blk))
+    new_hi = LJ.add(lo1, LJ.mont_mul(LJ.sub(hi1, lo1), r_blk))
     flo_ref[:] = new_lo
     fhi_ref[:] = new_hi
-    coeff_cols = [coeff_ref[pi, :, 0:1] for pi in range(len(products))]
-    part_ref[0] = _block_sums(new_lo, new_hi, coeff_cols, products, degree)
+    coeff_blks = [coeff_ref[pi] for pi in range(len(products))]
+    part_ref[0] = _block_sums(new_lo, new_hi, coeff_blks, products, degree)
 
 
 def _kernel_nofold(products, degree, r_ref, coeff_ref, lo_ref, hi_ref, part_ref):
-    coeff_cols = [coeff_ref[pi, :, 0:1] for pi in range(len(products))]
-    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], coeff_cols, products, degree)
+    coeff_blks = [coeff_ref[pi] for pi in range(len(products))]
+    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], coeff_blks, products, degree)
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,6 +97,7 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
 
     U1 = num_slots
     d1 = degree + 1
+    P = len(products)
     if do_fold:
         quarter = half // 2
         nblk = quarter // block
@@ -107,8 +110,8 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
             kernel,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((NUM_DIGITS, _LANE), lambda j: (0, 0)),  # r
-                pl.BlockSpec((len(products), NUM_DIGITS, _LANE), lambda j: (0, 0, 0)),
+                pl.BlockSpec((NUM_DIGITS, block), lambda j: (0, 0)),  # r
+                pl.BlockSpec((P, NUM_DIGITS, block), lambda j: (0, 0, 0)),
                 tbl(0),      # lo @ k
                 tbl(nblk),   # lo @ k + M/4
                 tbl(0),      # hi @ k
@@ -127,8 +130,8 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
             interpret=interpret,
         )
 
-        def run(lo, hi, r128, coeffs128):
-            new_lo, new_hi, part = fn(r128, coeffs128, lo, lo, hi, hi)
+        def run(lo, hi, r_blk, coeff_blk):
+            new_lo, new_hi, part = fn(r_blk, coeff_blk, lo, lo, hi, hi)
             return (new_lo, new_hi), _finish(part)
 
     else:
@@ -139,8 +142,8 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
             kernel,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((NUM_DIGITS, _LANE), lambda j: (0, 0)),
-                pl.BlockSpec((len(products), NUM_DIGITS, _LANE), lambda j: (0, 0, 0)),
+                pl.BlockSpec((NUM_DIGITS, block), lambda j: (0, 0)),
+                pl.BlockSpec((P, NUM_DIGITS, block), lambda j: (0, 0, 0)),
                 pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
                 pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
             ],
@@ -149,8 +152,8 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
             interpret=interpret,
         )
 
-        def run(lo, hi, r128, coeffs128):
-            (part,) = fn(r128, coeffs128, lo, hi)
+        def run(lo, hi, r_blk, coeff_blk):
+            (part,) = fn(r_blk, coeff_blk, lo, hi)
             return None, _finish(part)
 
     def _finish(part):
@@ -164,14 +167,20 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
     return jax.jit(run)
 
 
-def round_pallas(lo, hi, r128, coeffs128, products: tuple, degree: int,
+def round_pallas(lo, hi, r_digits, coeffs_pd, products: tuple, degree: int,
                  do_fold: bool, block: int = 1024, interpret: bool = False):
     """Run one fused round on the (lo, hi) table pair.
 
-    lo, hi: (16, U+1, half) uint32; r128/coeffs128: (16, 128) / (P, 16, 128)
-    lane-replicated operands. Returns ((new_lo, new_hi) | None, wide sums).
-    """
+    lo, hi: (16, U+1, half) uint32; r_digits: (16,) challenge digits;
+    coeffs_pd: (P, 16) per-product coefficient digits. Both are broadcast to
+    full block width here (outside the kernel — Mosaic dislikes in-kernel
+    sublane+lane double broadcasts). Returns ((new_lo, new_hi) | None, wide
+    sums)."""
     half = lo.shape[2]
     block = min(block, (half // 2 if do_fold else half))
+    r_blk = jnp.broadcast_to(r_digits[:, None], (NUM_DIGITS, block))
+    coeff_blk = jnp.broadcast_to(
+        coeffs_pd[:, :, None], (len(products), NUM_DIGITS, block)
+    )
     fn = _build(half, lo.shape[1], products, degree, do_fold, block, interpret)
-    return fn(lo, hi, r128, coeffs128)
+    return fn(lo, hi, r_blk, coeff_blk)

@@ -206,18 +206,15 @@ def _run_round(state: ProverState, r_col, do_fold: bool):
             tuple(ix + [ones_slot] * (max_len - len(ix)))
             for _, ix in state.list_of_products
         )
-        r128 = jnp.asarray(np.broadcast_to(r_col, (NUM_DIGITS, 128)))
-        coeffs128 = jnp.asarray(
-            np.broadcast_to(
-                np.stack([L.mont_scalar(c.v) for c, _ in state.list_of_products]),
-                (len(products), NUM_DIGITS, 128),
-            )
+        r_digits = jnp.asarray(r_col[:, 0])
+        coeffs_pd = jnp.asarray(
+            np.stack([L.mont_scalar(c.v)[:, 0] for c, _ in state.list_of_products])
         )
         new_pair, sums = round_pallas(
             state.stacked[0],
             state.stacked[1],
-            r128,
-            coeffs128,
+            r_digits,
+            coeffs_pd,
             products,
             degree,
             do_fold,

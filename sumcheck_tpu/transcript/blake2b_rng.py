@@ -22,20 +22,23 @@ bigint IS the Montgomery representation, so the canonical value is
 
 from __future__ import annotations
 
-import hashlib
-
 from ..fields.fr import P, R_INV
+from .blake2b_core import Blake2b512
 
 _BLOCK = 64  # Blake2b512 output size
 
 
 class Blake2b512Rng:
-    """Deterministic feed/sample transcript (`FeedableRNG` equivalent)."""
+    """Deterministic feed/sample transcript (`FeedableRNG` equivalent).
+
+    Backed by the explicit-state `Blake2b512` core so the prover can lift a
+    mid-stream transcript onto the device (`transcript/device.py`) and restore
+    it after a chained on-device prove."""
 
     __slots__ = ("_h",)
 
     def __init__(self):
-        self._h = hashlib.blake2b(digest_size=_BLOCK)
+        self._h = Blake2b512()
 
     @classmethod
     def setup(cls) -> "Blake2b512Rng":
@@ -72,6 +75,15 @@ class Blake2b512Rng:
 
     def next_u64(self) -> int:
         return int.from_bytes(self.fill_bytes(8), "little")
+
+    # --- device interop -------------------------------------------------
+    def state_tuple(self):
+        """(h, t, buf) of the running hasher, for lifting onto the device."""
+        return self._h.state_tuple()
+
+    def set_state(self, h, t: int, buf: bytes) -> None:
+        """Restore the running hasher after a chained on-device segment."""
+        self._h = Blake2b512.from_state(h, t, buf)
 
 
 def fr_rand(rng) -> int:

@@ -23,7 +23,8 @@ class Config:
     device_threshold: int = int(os.environ.get("SUMCHECK_TPU_DEVICE_THRESHOLD", 1 << 12))
     engine: str = os.environ.get("SUMCHECK_TPU_ENGINE", "auto")  # auto|device|host
     pallas: str = os.environ.get("SUMCHECK_TPU_PALLAS", "auto")  # auto|on|off
-    pallas_block: int = int(os.environ.get("SUMCHECK_TPU_PALLAS_BLOCK", 1 << 9))
+    pallas_block: int = int(os.environ.get("SUMCHECK_TPU_PALLAS_BLOCK", 1 << 8))
+    chained: str = os.environ.get("SUMCHECK_TPU_CHAINED", "auto")  # auto|on|off
 
     def use_device(self, table_len: int) -> bool:
         if self.engine == "device":
@@ -31,6 +32,14 @@ class Config:
         if self.engine == "host":
             return False
         return table_len > self.device_threshold
+
+    def use_chained(self, table_len: int) -> bool:
+        """Whole-prove-on-device path (transcript included, one final sync)."""
+        if self.chained == "off":
+            return False
+        if self.chained == "on":
+            return True
+        return self.use_device(table_len)
 
     def use_pallas(self, table_len: int) -> bool:
         """Fused kernel needs >= 2 lane blocks after folding."""

@@ -21,7 +21,7 @@ def test_pallas_round_matches_engine(rnd, do_fold):
     import jax.numpy as jnp
 
     u1 = 3  # 2 tables + ones slot
-    n = 1024  # table length
+    n = 256  # table length (small: interpret-mode compiles are CPU-costly)
     products = ((0, 1), (1, 0))
     degree = 2
     stacked = _mk(rnd, u1, n)
@@ -43,10 +43,10 @@ def test_pallas_round_matches_engine(rnd, do_fold):
 
     lo = jnp.asarray(stacked[:, :, : n // 2])
     hi = jnp.asarray(stacked[:, :, n // 2 :])
-    r128 = jnp.asarray(np.broadcast_to(r, (NUM_DIGITS, 128)))
-    c128 = jnp.asarray(np.broadcast_to(coeffs, (2, NUM_DIGITS, 128)))
+    r_digits = jnp.asarray(r[:, 0])
+    coeffs_pd = jnp.asarray(coeffs[:, :, 0])
     new_pair, sums = round_pallas(
-        lo, hi, r128, c128, products, degree, do_fold, block=128, interpret=True
+        lo, hi, r_digits, coeffs_pd, products, degree, do_fold, block=64, interpret=True
     )
     assert (np.asarray(sums) == ref_sums).all(), "sums differ"
     if do_fold:
