@@ -105,11 +105,10 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
 
     ts = lift_transcript(rng)
-    products = ((0, 1),)
-    coeffs = jnp.asarray(L.mont_scalar(1))[:, :1]  # (16, 1): coefficient 1
+    products = ((0, 1),)  # unit coefficient: nothing to fold into the tables
 
     msgs1, rs1, carry, blen, pair1 = chain_rounds(
-        lo1, hi1, ts.carry(), ts.blen, products, 2, coeffs, dim
+        lo1, hi1, ts.carry(), ts.blen, products, 2, dim
     )
     # f2(u): the chain left every table folded dim-1 times (1 lane); one more
     # fold by the final challenge evaluates slot 1 = f2 at u.
@@ -120,7 +119,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
 
     msgs2, rs2, carry, blen, _ = chain_rounds(
-        lo2, hi2, carry, blen, products, 2, coeffs, dim
+        lo2, hi2, carry, blen, products, 2, dim
     )
 
     # ONE synchronization for both phases + final transcript state

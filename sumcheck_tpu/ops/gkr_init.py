@@ -187,17 +187,14 @@ def bitrev_cols(x, nv: int):
     return jnp.take(x, rev, axis=1)
 
 
-def _ones_table(n: int):
-    return jnp.broadcast_to(jnp.asarray(L.mont_scalar(1)), (NUM_DIGITS, n))
-
-
 @functools.lru_cache(maxsize=None)
 def _compiled_prep1(dim: int):
-    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1."""
+    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1.
+    (No ones slot: the single product h_g*f2 needs no ragged padding.)"""
 
     def fn(hg_nat, f2_bitrev):
         n = 1 << dim
-        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev, _ones_table(n)], axis=1)
+        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev], axis=1)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)
@@ -236,7 +233,7 @@ def _compiled_prep2(dim: int):
     def fn(f1gu_nat, f3_bitrev, f2u):
         n = 1 << dim
         f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
-        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u, _ones_table(n)], axis=1)
+        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u], axis=1)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)

@@ -48,7 +48,8 @@ def _block_sums(E, O, coeff_blks, products, degree):
     E, O: (16, U+1, BN) strict digit blocks (start / start+step source).
     coeff_blks: list of (16, BN) per-product Montgomery coefficient blocks
     (lane-replicated — Mosaic wants operands at full block width; no
-    sublane+lane double broadcasts inside the kernel).
+    sublane+lane double broadcasts inside the kernel), or None when the
+    coefficients were folded into the tables at init.
     Returns (degree+1, 16) uint32, digits relaxed (< BN * 2^16).
     """
     step = LJ.sub(O, E)
@@ -60,7 +61,9 @@ def _block_sums(E, O, coeff_blks, products, degree):
         Et = ladder[t]
         tot = None
         for pi, ix in enumerate(products):
-            term = LJ.mont_mul(coeff_blks[pi], Et[:, ix[0]])
+            term = Et[:, ix[0]]
+            if coeff_blks is not None:
+                term = LJ.mont_mul(coeff_blks[pi], term)
             for jx in ix[1:]:
                 term = LJ.mont_mul(term, Et[:, jx])
             tot = term if tot is None else LJ.add(tot, term)
@@ -69,8 +72,8 @@ def _block_sums(E, O, coeff_blks, products, degree):
     return jnp.stack(rows)  # (d+1, 16)
 
 
-def _kernel_fold(products, degree, r_ref, coeff_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
-                 flo_ref, fhi_ref, part_ref):
+def _kernel_fold(products, degree, has_coeffs, r_ref, coeff_ref, lo0_ref, lo1_ref,
+                 hi0_ref, hi1_ref, flo_ref, fhi_ref, part_ref):
     r_blk = r_ref[:]  # (16, BN) lane-replicated challenge
     lo0, lo1 = lo0_ref[:], lo1_ref[:]
     hi0, hi1 = hi0_ref[:], hi1_ref[:]
@@ -78,26 +81,27 @@ def _kernel_fold(products, degree, r_ref, coeff_ref, lo0_ref, lo1_ref, hi0_ref, 
     new_hi = LJ.add(lo1, LJ.mont_mul(LJ.sub(hi1, lo1), r_blk))
     flo_ref[:] = new_lo
     fhi_ref[:] = new_hi
-    coeff_blks = [coeff_ref[pi] for pi in range(len(products))]
-    part_ref[0] = _block_sums(new_lo, new_hi, coeff_blks, products, degree)
+    blks = [coeff_ref[pi] for pi in range(len(products))] if has_coeffs else None
+    part_ref[0] = _block_sums(new_lo, new_hi, blks, products, degree)
 
 
-def _kernel_nofold(products, degree, r_ref, coeff_ref, lo_ref, hi_ref, part_ref):
-    coeff_blks = [coeff_ref[pi] for pi in range(len(products))]
-    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], coeff_blks, products, degree)
+def _kernel_nofold(products, degree, has_coeffs, r_ref, coeff_ref, lo_ref, hi_ref,
+                   part_ref):
+    blks = [coeff_ref[pi] for pi in range(len(products))] if has_coeffs else None
+    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], blks, products, degree)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: bool,
-           block: int, interpret: bool):
+           block: int, interpret: bool, has_coeffs: bool):
     """Compile the fused round for one shape. `half` = current M/2 (the lo/hi
-    length). Returns fn(lo, hi, r128, coeffs128) -> ((new_lo, new_hi) | None,
+    length). Returns fn(lo, hi, r_blk, coeff_blk) -> ((new_lo, new_hi) | None,
     partials (nblk, d+1, 16))."""
     import jax.experimental.pallas as pl
 
     U1 = num_slots
     d1 = degree + 1
-    P = len(products)
+    P = len(products) if has_coeffs else 1
     if do_fold:
         quarter = half // 2
         nblk = quarter // block
@@ -105,7 +109,7 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
         tbl = lambda off: pl.BlockSpec(  # noqa: E731
             (NUM_DIGITS, U1, block), lambda j, off=off: (0, 0, j + off)
         )
-        kernel = functools.partial(_kernel_fold, products, degree)
+        kernel = functools.partial(_kernel_fold, products, degree, has_coeffs)
         fn = pl.pallas_call(
             kernel,
             grid=(nblk,),
@@ -137,7 +141,7 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
     else:
         nblk = half // block
         assert nblk >= 1 and half % block == 0
-        kernel = functools.partial(_kernel_nofold, products, degree)
+        kernel = functools.partial(_kernel_nofold, products, degree, has_coeffs)
         fn = pl.pallas_call(
             kernel,
             grid=(nblk,),
@@ -172,15 +176,21 @@ def round_pallas(lo, hi, r_digits, coeffs_pd, products: tuple, degree: int,
     """Run one fused round on the (lo, hi) table pair.
 
     lo, hi: (16, U+1, half) uint32; r_digits: (16,) challenge digits;
-    coeffs_pd: (P, 16) per-product coefficient digits. Both are broadcast to
+    coeffs_pd: (P, 16) per-product coefficient digits, or None when the
+    coefficients are pre-folded into the tables. Operands are broadcast to
     full block width here (outside the kernel — Mosaic dislikes in-kernel
     sublane+lane double broadcasts). Returns ((new_lo, new_hi) | None, wide
     sums)."""
     half = lo.shape[2]
     block = min(block, (half // 2 if do_fold else half))
     r_blk = jnp.broadcast_to(r_digits[:, None], (NUM_DIGITS, block))
-    coeff_blk = jnp.broadcast_to(
-        coeffs_pd[:, :, None], (len(products), NUM_DIGITS, block)
-    )
-    fn = _build(half, lo.shape[1], products, degree, do_fold, block, interpret)
+    has_coeffs = coeffs_pd is not None
+    if has_coeffs:
+        coeff_blk = jnp.broadcast_to(
+            coeffs_pd[:, :, None], (len(products), NUM_DIGITS, block)
+        )
+    else:
+        coeff_blk = jnp.zeros((1, NUM_DIGITS, block), jnp.uint32)  # unused
+    fn = _build(half, lo.shape[1], products, degree, do_fold, block, interpret,
+                has_coeffs)
     return fn(lo, hi, r_blk, coeff_blk)

@@ -37,38 +37,36 @@ _ONE_DIGITS = (1,) + (0,) * (NUM_DIGITS - 1)
 
 
 @functools.lru_cache(maxsize=None)
-def _chained_step(
+def _kernel_step(
     half: int,
     num_slots: int,
     products: tuple,
     degree: int,
-    blen_in: int,
     do_fold: bool,
     use_pallas: bool,
     block: int,
     interpret: bool,
 ):
-    """One fused round: [fold by r] -> evaluate at t=0..d -> reduce ->
-    feed transcript -> sample next challenge. Returns (jitted fn, blen_out).
+    """The per-round table work: [fold by r] -> evaluate at t=0..d ->
+    lane-reduce. Keyed ONLY by shape/structure (no transcript state), so a
+    compiled kernel for table half `h` is reused by every nv that passes
+    through `h` — the compile cache amortizes across the whole size sweep.
 
-    fn(lo, hi, carry, r_digits, coeffs) ->
-        ((new_lo, new_hi), carry', canon_evals (16, d+1), r' (16,))
+    fn(lo, hi, r_digits) -> ((new_lo, new_hi), wide_sums (WIDE, d+1)).
+    Coefficients do not appear: they are folded into the tables at init
+    (`init_pair`), saving one Montgomery multiply per product per point.
     """
     import jax
     import jax.numpy as jnp
 
-    blen_out = blen_after_feed(blen_in, 8 + 32 * (degree + 1))
-    ones_slot = num_slots - 1
     idx_np = np.array([list(ix) for ix in products], np.int32)
 
-    def fn(lo, hi, carry, r_digits, coeffs):
-        ts = DevTranscript.from_carry(carry, blen_in)
+    def fn(lo, hi, r_digits):
         if use_pallas:
             from ..ops.round_pallas import round_pallas
 
             pair, sums = round_pallas(
-                lo, hi, r_digits, jnp.moveaxis(coeffs, 1, 0),
-                products, degree, do_fold,
+                lo, hi, r_digits, None, products, degree, do_fold,
                 block=block, interpret=interpret,
             )
             if not do_fold:
@@ -80,47 +78,127 @@ def _chained_step(
                     engine.DEVICE, stacked, r_digits[:, None, None]
                 )
             sums = engine.round_sums(
-                engine.DEVICE,
-                stacked,
-                coeffs[:, :, None, None],  # (16, P, 1, 1)
-                jnp.asarray(idx_np),
-                degree,
+                engine.DEVICE, stacked, None, jnp.asarray(idx_np), degree
             )
             m = stacked.shape[2] // 2
             pair = (stacked[:, :, :m], stacked[:, :, m:])
+        return pair, sums
+
+    donate = (0, 1) if do_fold else ()
+    return jax.jit(fn, donate_argnums=donate)
+
+
+_kernel_step = functools.lru_cache(maxsize=None)(_kernel_step)
+
+
+@functools.lru_cache(maxsize=None)
+def _transcript_step(blen_in: int, degree: int):
+    """The per-round Fiat-Shamir work: reduce the wide sums mod p, convert to
+    canonical residues, feed `Vec<Fr>`, sample the next challenge. Keyed only
+    by the (cyclic, ~16-valued) pending-byte count and the degree — a handful
+    of programs serve every round of every instance size.
+
+    Returns (jitted fn, blen_out); fn(carry, sums) -> (carry', canon, r')."""
+    import jax
+
+    blen_out = blen_after_feed(blen_in, 8 + 32 * (degree + 1))
+
+    def fn(carry, sums):
+        ts = DevTranscript.from_carry(carry, blen_in)
         mont = LJ.reduce_wide(sums)  # (16, d+1) Montgomery-form evals
         canon = LJ.mont_mul_const(mont, _ONE_DIGITS)  # *R^-1: canonical
         ts = feed_fr_vec(ts, canon)
         r_new, ts = fr_rand(ts)
-        return pair, ts.carry(), canon, r_new
+        return ts.carry(), canon, r_new
 
-    donate = (0, 1) if do_fold else ()
-    return jax.jit(fn, donate_argnums=donate), blen_out
+    return jax.jit(fn), blen_out
+
+
+def _fold_plan(polynomial):
+    """Decide how to fold each product's coefficient into a table slot.
+
+    Returns (products, scale_plan, num_slots, need_ones):
+    - products: padded index tuples with coefficients absorbed;
+    - scale_plan: list of (dst_slot, src_slot, coeff_int) — dst == src means
+      scale in place (slot referenced nowhere else); dst >= num_tables
+      appends a scaled copy (slot shared between products);
+    - coefficient 1 folds for free (no scale op).
+    """
+    num_tables = len(polynomial.flattened_ml_extensions)
+    usage = [0] * num_tables
+    prods = [list(ix) for _, ix in polynomial.products]
+    for ix in prods:
+        for s in ix:
+            usage[s] += 1
+    scale_plan = []
+    next_slot = num_tables
+    for (coeff, _), ix in zip(polynomial.products, prods):
+        if coeff.v == 1:
+            continue
+        t0 = ix[0]
+        if usage[t0] == 1:
+            scale_plan.append((t0, t0, coeff.v))
+        else:
+            scale_plan.append((next_slot, t0, coeff.v))
+            usage[t0] -= 1
+            ix[0] = next_slot
+            next_slot += 1
+    max_len = max(len(ix) for ix in prods)
+    need_ones = any(len(ix) < max_len for ix in prods)
+    ones_slot = next_slot
+    products = tuple(
+        tuple(ix + [ones_slot] * (max_len - len(ix))) for ix in prods
+    )
+    num_slots = next_slot + (1 if need_ones else 0)
+    return products, tuple(scale_plan), num_slots, need_ones
+
+
+@functools.lru_cache(maxsize=None)
+def _stacker(plan_key: tuple, need_ones: bool, n: int, num_tabs: int):
+    """Jitted stack+scale+split for one (plan, size) shape family."""
+    import jax
+    import jax.numpy as jnp
+
+    def stack(ts, cols):
+        ts = list(ts)
+        for (dst, src), col in zip(plan_key, cols):
+            scaled = LJ.mont_mul(ts[src], col)
+            if dst == src:
+                ts[src] = scaled
+            else:
+                ts.append(scaled)
+        if need_ones:
+            ts.append(
+                jnp.broadcast_to(jnp.asarray(L.mont_scalar(1)), (NUM_DIGITS, n))
+            )
+        s = jnp.stack(ts, axis=1)  # (16, num_slots, n)
+        return s[:, :, : n // 2], s[:, :, n // 2 :]
+
+    return jax.jit(stack)
 
 
 def init_pair(polynomial):
-    """Stack the unique tables (device-cached, bit-reversed — see
-    `DenseMLE.device_bitrev`) plus the constant-one slot into the (lo, hi)
-    half pair the round kernels consume."""
+    """Build the (lo, hi) table pair the round kernels consume: unique tables
+    (device-cached, bit-reversed — `DenseMLE.device_bitrev`), product
+    coefficients pre-multiplied into one exclusive slot each, a constant-one
+    slot only if some product needs ragged padding.
+
+    Returns (lo, hi, products, degree)."""
     import jax.numpy as jnp
 
     nv = polynomial.num_variables
     n = 1 << nv
-    tabs = [m.device_bitrev() for m in polynomial.flattened_ml_extensions]
-
-    @functools.partial(__import__("jax").jit, static_argnums=(1,))
-    def stack(ts, n):
-        ones = jnp.broadcast_to(
-            jnp.asarray(L.mont_scalar(1)), (NUM_DIGITS, n)
-        )
-        s = jnp.stack(list(ts) + [ones], axis=1)  # (16, U+1, n)
-        return s[:, :, : n // 2], s[:, :, n // 2 :]
-
-    return stack(tuple(tabs), n)
+    products, scale_plan, num_slots, need_ones = _fold_plan(polynomial)
+    tabs = tuple(m.device_bitrev() for m in polynomial.flattened_ml_extensions)
+    coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)
+    plan_key = tuple((d, s) for d, s, _ in scale_plan)
+    lo, hi = _stacker(plan_key, need_ones, n, len(tabs))(tabs, coeff_cols)
+    return lo, hi, products, polynomial.max_multiplicands
 
 
-def chain_rounds(lo, hi, carry, blen, products, degree, coeffs, num_rounds):
-    """Enqueue `num_rounds` fused rounds (no host sync). Returns
+def chain_rounds(lo, hi, carry, blen, products, degree, num_rounds):
+    """Enqueue `num_rounds` rounds (no host sync): per round one kernel
+    dispatch + one transcript dispatch, output feeding input. Returns
     (msgs_dev, rs_dev, carry, blen, (lo, hi)) — all device handles; `rs_dev`
     holds the sampled challenge digits (Montgomery form) per round."""
     import jax.numpy as jnp
@@ -134,14 +212,16 @@ def chain_rounds(lo, hi, carry, blen, products, degree, coeffs, num_rounds):
     for i in range(num_rounds):
         half = lo.shape[2]
         use_pallas = cfg.use_pallas(2 * half) and not cfg.pallas_interpret
-        fn, blen = _chained_step(
-            half, num_slots, products, degree, blen,
+        kfn = _kernel_step(
+            half, num_slots, products, degree,
             do_fold=(i > 0),
             use_pallas=use_pallas,
             block=min(cfg.pallas_block, max(half // 2, 1)),
             interpret=cfg.pallas_interpret,
         )
-        (lo, hi), carry, canon, r = fn(lo, hi, carry, r, coeffs)
+        tfn, blen = _transcript_step(blen, degree)
+        (lo, hi), sums = kfn(lo, hi, r)
+        carry, canon, r = tfn(carry, sums)
         msgs_dev.append(canon)
         rs_dev.append(r)
     return msgs_dev, rs_dev, carry, blen, (lo, hi)
@@ -233,31 +313,6 @@ def restore_transcript(fs_rng, carry_h, blen: int) -> None:
     fs_rng.set_state(h, t, buf)
 
 
-def products_and_coeffs(polynomial):
-    """Static padded index tuples + (16, P) Montgomery coefficient columns
-    (device upload cached on the polynomial — it is append-only via
-    `add_product`, and the cache key includes the product count)."""
-    import jax.numpy as jnp
-
-    ones_slot = len(polynomial.flattened_ml_extensions)
-    max_len = max(len(ix) for _, ix in polynomial.products)
-    products = tuple(
-        tuple(list(ix) + [ones_slot] * (max_len - len(ix)))
-        for _, ix in polynomial.products
-    )
-    cache = getattr(polynomial, "_dev_coeffs", None)
-    if cache is not None and cache[0] == products:
-        return products, cache[1]
-    coeffs = jnp.asarray(
-        np.stack([L.mont_scalar(c.v)[:, 0] for c, _ in polynomial.products], axis=1)
-    )
-    try:
-        polynomial._dev_coeffs = (products, coeffs)
-    except AttributeError:
-        pass
-    return products, coeffs
-
-
 def prove_chained(fs_rng, polynomial):
     """Full Fiat-Shamir prove with the transcript on device; returns
     (prover_msgs, ProverState) exactly like the host path. `fs_rng` must be a
@@ -265,14 +320,12 @@ def prove_chained(fs_rng, polynomial):
     from .prover import ProverState
 
     nv = polynomial.num_variables
-    degree = polynomial.max_multiplicands
-    products, coeffs = products_and_coeffs(polynomial)
 
-    lo, hi = init_pair(polynomial)
+    lo, hi, products, degree = init_pair(polynomial)
     ts = lift_transcript(fs_rng)
 
     msgs_dev, rs_dev, carry, blen, (lo, hi) = chain_rounds(
-        lo, hi, ts.carry(), ts.blen, products, degree, coeffs, nv
+        lo, hi, ts.carry(), ts.blen, products, degree, nv
     )
 
     # ONE synchronization: proof + challenges + final transcript state

@@ -78,7 +78,8 @@ def round_sums(ops, stacked, coeffs, idx_mat, degree: int):
     """Evaluate the round polynomial at t = 0..degree and lane-reduce.
 
     stacked: (16, [B,] U+1, m) bitrev tables (slot U = constant ones).
-    coeffs:  (16, [B,] P, 1, 1) Montgomery digit columns.
+    coeffs:  (16, [B,] P, 1, 1) Montgomery digit columns, or None when the
+    coefficients are already folded into the tables (`device_prover.init_pair`).
     idx_mat: (P, L) integer table indices (ragged products padded with U).
     Returns (WIDE_DIGITS, [B,] degree+1) uint32 — exact integer sums of
     Montgomery residues (host reduces mod p).
@@ -94,7 +95,8 @@ def round_sums(ops, stacked, coeffs, idx_mat, degree: int):
     acc = gathered[..., 0, :, :]
     for l in range(1, gathered.shape[-3]):
         acc = ops.mont_mul(acc, gathered[..., l, :, :])
-    acc = ops.mont_mul(coeffs, acc)  # (16, [B,] P, d+1, m2)
+    if coeffs is not None:
+        acc = ops.mont_mul(coeffs, acc)  # (16, [B,] P, d+1, m2)
     total = acc[..., 0, :, :]
     for pi in range(1, acc.shape[-3]):
         total = ops.add(total, acc[..., pi, :, :])
