@@ -43,9 +43,10 @@ from sumcheck_tpu import (
 )
 from sumcheck_tpu.fields.fr import NUM_DIGITS, P
 
-# chart-read reference numbers (BASELINE.md; +-15%)
-BASELINE_ML_PROVE_S = {10: 2.4e-3, 14: 45e-3, 16: 0.2, 18: 0.9, 20: 3.5, 24: 56.0}
-BASELINE_GKR_PROVE_S = {10: 2.5e-3, 14: 50e-3, 16: 0.22, 18: 0.95, 20: 3.8}
+# chart-read reference numbers (BASELINE.md; +-15%); nv>20 extrapolated on
+# the charts' 2x-per-variable slope (the prover is linear in 2^nv)
+BASELINE_ML_PROVE_S = {10: 2.4e-3, 14: 45e-3, 16: 0.2, 18: 0.9, 20: 3.5, 22: 14.0, 24: 56.0}
+BASELINE_GKR_PROVE_S = {10: 2.5e-3, 14: 50e-3, 16: 0.22, 18: 0.95, 20: 3.8, 22: 15.2}
 
 
 def random_mle(nv: int, rng) -> DenseMLE:

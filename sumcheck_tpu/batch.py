@@ -42,6 +42,171 @@ def _compiled_batched_round(n, batch, num_products, max_len, degree, num_slots, 
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# chained batched path: B transcripts advance on device in lockstep (vmapped
+# Blake2b + rejection sampling), all nv rounds enqueue without a host sync
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _bkernel(half: int, B: int, num_slots: int, products: tuple, degree: int,
+             do_fold: bool):
+    """Batched fold+evaluate+reduce on (U, 16, B, half) pairs — slot axis
+    leading (untiled, no sublane padding), instances side by side in lanes;
+    every limb op runs per slot on (16, B, half) slices."""
+    import jax
+    import jax.numpy as jnp
+
+    idx_np = np.array([list(ix) for ix in products], np.int32)
+
+    def fn(lo, hi, r_b):  # r_b: (16, B)
+        stacked = jnp.concatenate([lo, hi], axis=3)  # (U, 16, B, m)
+        if do_fold:
+            stacked = jnp.stack(
+                [
+                    engine.fold_tables(engine.DEVICE, stacked[u], r_b[:, :, None])
+                    for u in range(num_slots)
+                ]
+            )
+        m2 = stacked.shape[3] // 2
+        if m2 <= (1 << 14):  # int32 block reduction stays exact
+            from .ops.round_pallas import _block_sums
+
+            E = [stacked[u][:, :, :m2] for u in range(num_slots)]
+            O = [stacked[u][:, :, m2:] for u in range(num_slots)]
+            part = _block_sums(E, O, None, products, degree)  # (d+1, 16, B)
+            rows = jnp.moveaxis(part, 1, 0)  # (16, d+1, B) relaxed
+            pad = [jnp.zeros_like(rows[0])] * (LJ.WIDE_DIGITS - NUM_DIGITS)
+            strict, _ = LJ._chain([rows[i] for i in range(NUM_DIGITS)] + pad)
+            sums = jnp.moveaxis(jnp.stack(strict), 1, 2)  # (WIDE, B, d+1)
+        else:
+            sums = engine.round_sums(
+                engine.DEVICE, jnp.moveaxis(stacked, 0, 2), None,
+                jnp.asarray(idx_np), degree,
+            )  # (WIDE, B, d+1)
+        if not do_fold:
+            return None, sums  # avoid an un-donated pass-through copy
+        return (stacked[:, :, :, :m2], stacked[:, :, :, m2:]), sums
+
+    return jax.jit(fn, donate_argnums=(0, 1) if do_fold else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _btranscript(blen_in: int, degree: int, B: int):
+    """vmapped per-instance transcript round (reduce, feed, sample).
+    Carry leaves are batched on axis 0; sums/canon/r on axis 1."""
+    import jax
+
+    from .protocol.device_prover import _ONE_DIGITS
+    from .transcript.device import DevTranscript, blen_after_feed, feed_fr_vec, fr_rand
+
+    blen_out = blen_after_feed(blen_in, 8 + 32 * (degree + 1))
+
+    def single(carry, sums):
+        ts = DevTranscript.from_carry(carry, blen_in)
+        mont = LJ.reduce_wide(sums)
+        canon = LJ.mont_mul_const(mont, _ONE_DIGITS)
+        ts = feed_fr_vec(ts, canon)
+        r_new, ts = fr_rand(ts)
+        return ts.carry(), canon, r_new
+
+    fn = jax.vmap(single, in_axes=((0, 0, 0), 1), out_axes=((0, 0, 0), 2, 1))
+    return jax.jit(fn), blen_out
+
+
+def _batched_carry(fs_rngs):
+    """Host transcript states -> one batched device carry (B,8,2)/(B,)/(B,16,2).
+    Requires equal pending-byte counts (shared static alignment)."""
+    import jax.numpy as jnp
+
+    states = [r.state_tuple() for r in fs_rngs]
+    blen = len(states[0][2])
+    if any(len(s[2]) != blen for s in states):
+        return None, None
+    M32 = (1 << 32) - 1
+    h = np.array(
+        [[(w & M32, w >> 32) for w in s[0]] for s in states], np.uint32
+    )  # (B, 8, 2)
+    t = np.array([s[1] for s in states], np.uint32)
+    bufw = []
+    for s in states:
+        words = [int.from_bytes(s[2][8 * i : 8 * i + 8], "little") for i in range(blen // 8)]
+        words += [0] * (16 - len(words))
+        bufw.append([(w & M32, w >> 32) for w in words])
+    buf = np.array(bufw, np.uint32) if bufw else np.zeros((len(states), 16, 2), np.uint32)
+    return (jnp.asarray(h), jnp.asarray(t), jnp.asarray(buf)), blen
+
+
+def _prove_batched_chained(fs_rngs, polynomials, degree: int, nv: int):
+    """All B instances prove together with zero per-round host syncs; proofs
+    byte-identical to per-instance `MLSumcheck.prove_as_subprotocol`."""
+    import jax.numpy as jnp
+
+    from .protocol.device_prover import col_int, init_pair
+    from .transcript.device import DevTranscript
+
+    B = len(polynomials)
+    carry, blen = _batched_carry(fs_rngs)
+    if carry is None:  # unequal pending-byte alignment: not vmappable
+        return None
+    pairs = [init_pair(p) for p in polynomials]
+    products = pairs[0][2]
+    if any(p[2] != products for p in pairs):
+        # coefficient-folding plans diverged (e.g. mixed unit/non-unit
+        # coefficients); the per-round host path handles it
+        return None
+    lo = jnp.stack([p[0] for p in pairs], axis=2)  # (U, 16, B, half)
+    hi = jnp.stack([p[1] for p in pairs], axis=2)
+    num_slots = lo.shape[0]
+
+    msgs_dev, rs_dev = [], []
+    r = jnp.zeros((NUM_DIGITS, B), jnp.uint32)
+    for i in range(nv):
+        half = lo.shape[3]
+        kfn = _bkernel(half, B, num_slots, products, degree, i > 0)
+        tfn, blen = _btranscript(blen, degree, B)
+        pair, sums = kfn(lo, hi, r)
+        if pair is not None:
+            lo, hi = pair
+        carry, canon, r = tfn(carry, sums)
+        msgs_dev.append(canon)  # (16, d+1, B)
+        rs_dev.append(r)  # (16, B)
+
+    # single fetch: all rounds x instances + final transcript states
+    import jax
+
+    @jax.jit
+    def pack(ms, rs, c):
+        return jnp.concatenate(
+            [jnp.stack(ms).reshape(-1), jnp.stack(rs).reshape(-1),
+             c[0].reshape(-1), c[1].reshape(-1), c[2].reshape(-1)]
+        )
+
+    flat = np.asarray(pack(msgs_dev, rs_dev, carry))
+    d1 = degree + 1
+    o1 = nv * NUM_DIGITS * d1 * B
+    o2 = o1 + nv * NUM_DIGITS * B
+    msgs = flat[:o1].reshape(nv, NUM_DIGITS, d1, B)
+    rs = flat[o1:o2].reshape(nv, NUM_DIGITS, B)
+    h = flat[o2 : o2 + 16 * B].reshape(B, 8, 2)
+    t = flat[o2 + 16 * B : o2 + 17 * B]
+    buf = flat[o2 + 17 * B :].reshape(B, 16, 2)
+
+    proofs, challenges = [], []
+    for b in range(B):
+        proofs.append(
+            [
+                ProverMsg([Fr(col_int(msgs[i, :, ti, b])) for ti in range(d1)])
+                for i in range(nv)
+            ]
+        )
+        challenges.append([Fr(col_int(rs[i, :, b]) * R_INV % P) for i in range(nv)])
+        final = DevTranscript(h[b], t[b], buf[b], blen)
+        hw, tw, bw = final.lower()
+        fs_rngs[b].set_state(hw, tw, bw)
+    return proofs, challenges
+
+
 class BatchedMLSumcheck:
     """Prove B same-shaped instances at once (independent Fiat-Shamir
     transcripts; returns one proof per instance)."""
@@ -69,6 +234,13 @@ class BatchedMLSumcheck:
 
         for rng, poly in zip(fs_rngs, polynomials):
             rng.feed(poly.info())
+
+        if get_config().use_chained(n) and all(
+            isinstance(r, Blake2b512Rng) for r in fs_rngs
+        ):
+            res = _prove_batched_chained(fs_rngs, polynomials, degree, nv)
+            if res is not None:
+                return res
 
         # stack: (16, B, U+1, n), bit-reversed
         ones = np.broadcast_to(L.mont_scalar(1), (NUM_DIGITS, n))

@@ -189,12 +189,13 @@ def bitrev_cols(x, nv: int):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_prep1(dim: int):
-    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1.
+    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1, slot
+    axis leading ((2, 16, half) — see `round_pallas` layout note).
     (No ones slot: the single product h_g*f2 needs no ragged padding.)"""
 
     def fn(hg_nat, f2_bitrev):
         n = 1 << dim
-        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev], axis=1)
+        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)
@@ -204,8 +205,8 @@ def _compiled_prep1(dim: int):
 def _compiled_final_fold(slot: int):
     """Fold the 1-lane final pair by the last challenge: table[slot](point)."""
 
-    def fn(lo, hi, r):  # lo, hi (16, U+1, 1); r (16,)
-        l, h = lo[:, slot, 0], hi[:, slot, 0]
+    def fn(lo, hi, r):  # lo, hi (U, 16, 1); r (16,)
+        l, h = lo[slot, :, 0], hi[slot, :, 0]
         return LJ.add(l, LJ.mont_mul(LJ.sub(h, l), r))
 
     return jax.jit(fn)
@@ -233,7 +234,7 @@ def _compiled_prep2(dim: int):
     def fn(f1gu_nat, f3_bitrev, f2u):
         n = 1 << dim
         f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
-        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u], axis=1)
+        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)

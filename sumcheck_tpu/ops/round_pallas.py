@@ -45,50 +45,57 @@ from ..fields.fr import NUM_DIGITS
 def _block_sums(E, O, coeff_blks, products, degree):
     """Round-poly partial sums for one block pair.
 
-    E, O: (16, U+1, BN) strict digit blocks (start / start+step source).
+    E, O: lists of U (16, BN) strict digit blocks (start / start+step per
+    table slot — the slot axis is a Python list, NOT an array axis: a packed
+    (16, U, BN) array would tile U onto sublanes and pad it to 8, wasting
+    HBM and ALU on ghost slots).
     coeff_blks: list of (16, BN) per-product Montgomery coefficient blocks
-    (lane-replicated — Mosaic wants operands at full block width; no
-    sublane+lane double broadcasts inside the kernel), or None when the
-    coefficients were folded into the tables at init.
+    (lane-replicated — Mosaic wants operands at full block width), or None
+    when the coefficients were folded into the tables at init.
     Returns (degree+1, 16) uint32, digits relaxed (< BN * 2^16).
     """
-    step = LJ.sub(O, E)
-    ladder = [E]
-    for _ in range(degree):
-        ladder.append(LJ.add(ladder[-1], step))
+    steps = [LJ.sub(o, e) for e, o in zip(E, O)]
+    cur = list(E)
     rows = []
     for t in range(degree + 1):
-        Et = ladder[t]
+        if t > 0:
+            cur = [LJ.add(c, s) for c, s in zip(cur, steps)]
         tot = None
         for pi, ix in enumerate(products):
-            term = Et[:, ix[0]]
+            term = cur[ix[0]]
             if coeff_blks is not None:
                 term = LJ.mont_mul(coeff_blks[pi], term)
             for jx in ix[1:]:
-                term = LJ.mont_mul(term, Et[:, jx])
+                term = LJ.mont_mul(term, cur[jx])
             tot = term if tot is None else LJ.add(tot, term)
         # Mosaic lacks unsigned reductions; int32 is exact (< BN * 2^16 < 2^31)
         rows.append(jnp.sum(tot.astype(jnp.int32), axis=-1).astype(jnp.uint32))
     return jnp.stack(rows)  # (d+1, 16)
 
 
-def _kernel_fold(products, degree, has_coeffs, r_ref, coeff_ref, lo0_ref, lo1_ref,
-                 hi0_ref, hi1_ref, flo_ref, fhi_ref, part_ref):
+def _kernel_fold(products, degree, has_coeffs, num_slots, r_ref, coeff_ref,
+                 lo0_ref, lo1_ref, hi0_ref, hi1_ref, flo_ref, fhi_ref, part_ref):
     r_blk = r_ref[:]  # (16, BN) lane-replicated challenge
-    lo0, lo1 = lo0_ref[:], lo1_ref[:]
-    hi0, hi1 = hi0_ref[:], hi1_ref[:]
-    new_lo = LJ.add(lo0, LJ.mont_mul(LJ.sub(hi0, lo0), r_blk))
-    new_hi = LJ.add(lo1, LJ.mont_mul(LJ.sub(hi1, lo1), r_blk))
-    flo_ref[:] = new_lo
-    fhi_ref[:] = new_hi
+    new_lo, new_hi = [], []
+    for u in range(num_slots):
+        l0, l1 = lo0_ref[u], lo1_ref[u]
+        h0, h1 = hi0_ref[u], hi1_ref[u]
+        nl = LJ.add(l0, LJ.mont_mul(LJ.sub(h0, l0), r_blk))
+        nh = LJ.add(l1, LJ.mont_mul(LJ.sub(h1, l1), r_blk))
+        flo_ref[u] = nl
+        fhi_ref[u] = nh
+        new_lo.append(nl)
+        new_hi.append(nh)
     blks = [coeff_ref[pi] for pi in range(len(products))] if has_coeffs else None
     part_ref[0] = _block_sums(new_lo, new_hi, blks, products, degree)
 
 
-def _kernel_nofold(products, degree, has_coeffs, r_ref, coeff_ref, lo_ref, hi_ref,
-                   part_ref):
+def _kernel_nofold(products, degree, has_coeffs, num_slots, r_ref, coeff_ref,
+                   lo_ref, hi_ref, part_ref):
     blks = [coeff_ref[pi] for pi in range(len(products))] if has_coeffs else None
-    part_ref[0] = _block_sums(lo_ref[:], hi_ref[:], blks, products, degree)
+    E = [lo_ref[u] for u in range(num_slots)]
+    O = [hi_ref[u] for u in range(num_slots)]
+    part_ref[0] = _block_sums(E, O, blks, products, degree)
 
 
 @functools.lru_cache(maxsize=None)
@@ -107,9 +114,9 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
         nblk = quarter // block
         assert nblk >= 1 and quarter % block == 0
         tbl = lambda off: pl.BlockSpec(  # noqa: E731
-            (NUM_DIGITS, U1, block), lambda j, off=off: (0, 0, j + off)
+            (U1, NUM_DIGITS, block), lambda j, off=off: (0, 0, j + off)
         )
-        kernel = functools.partial(_kernel_fold, products, degree, has_coeffs)
+        kernel = functools.partial(_kernel_fold, products, degree, has_coeffs, U1)
         fn = pl.pallas_call(
             kernel,
             grid=(nblk,),
@@ -122,13 +129,13 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
                 tbl(nblk),   # hi @ k + M/4
             ],
             out_specs=[
-                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
-                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((U1, NUM_DIGITS, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((U1, NUM_DIGITS, block), lambda j: (0, 0, j)),
                 pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((NUM_DIGITS, U1, quarter), jnp.uint32),
-                jax.ShapeDtypeStruct((NUM_DIGITS, U1, quarter), jnp.uint32),
+                jax.ShapeDtypeStruct((U1, NUM_DIGITS, quarter), jnp.uint32),
+                jax.ShapeDtypeStruct((U1, NUM_DIGITS, quarter), jnp.uint32),
                 jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32),
             ],
             interpret=interpret,
@@ -141,15 +148,15 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
     else:
         nblk = half // block
         assert nblk >= 1 and half % block == 0
-        kernel = functools.partial(_kernel_nofold, products, degree, has_coeffs)
+        kernel = functools.partial(_kernel_nofold, products, degree, has_coeffs, U1)
         fn = pl.pallas_call(
             kernel,
             grid=(nblk,),
             in_specs=[
                 pl.BlockSpec((NUM_DIGITS, block), lambda j: (0, 0)),
                 pl.BlockSpec((P, NUM_DIGITS, block), lambda j: (0, 0, 0)),
-                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
-                pl.BlockSpec((NUM_DIGITS, U1, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((U1, NUM_DIGITS, block), lambda j: (0, 0, j)),
+                pl.BlockSpec((U1, NUM_DIGITS, block), lambda j: (0, 0, j)),
             ],
             out_specs=[pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32)],
@@ -175,10 +182,12 @@ def round_pallas(lo, hi, r_digits, coeffs_pd, products: tuple, degree: int,
                  do_fold: bool, block: int = 1024, interpret: bool = False):
     """Run one fused round on the (lo, hi) table pair.
 
-    lo, hi: (16, U+1, half) uint32; r_digits: (16,) challenge digits;
-    coeffs_pd: (P, 16) per-product coefficient digits, or None when the
-    coefficients are pre-folded into the tables. Operands are broadcast to
-    full block width here (outside the kernel — Mosaic dislikes in-kernel
+    lo, hi: (U, 16, half) uint32 — slot axis LEADING (untiled; a trailing or
+    second-minor slot axis would be padded to 8 sublanes, costing 1.33x HBM
+    and ALU for the 6-table reference workload); r_digits: (16,) challenge
+    digits; coeffs_pd: (P, 16) per-product coefficient digits, or None when
+    the coefficients are pre-folded into the tables. Operands are broadcast
+    to full block width here (outside the kernel — Mosaic dislikes in-kernel
     sublane+lane double broadcasts). Returns ((new_lo, new_hi) | None, wide
     sums)."""
     half = lo.shape[2]
@@ -191,6 +200,6 @@ def round_pallas(lo, hi, r_digits, coeffs_pd, products: tuple, degree: int,
         )
     else:
         coeff_blk = jnp.zeros((1, NUM_DIGITS, block), jnp.uint32)  # unused
-    fn = _build(half, lo.shape[1], products, degree, do_fold, block, interpret,
+    fn = _build(half, lo.shape[0], products, degree, do_fold, block, interpret,
                 has_coeffs)
     return fn(lo, hi, r_blk, coeff_blk)

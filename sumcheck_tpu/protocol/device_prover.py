@@ -19,6 +19,7 @@ are byte-identical whichever engine runs (`tests/test_device_prover.py`).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -46,6 +47,7 @@ def _kernel_step(
     use_pallas: bool,
     block: int,
     interpret: bool,
+    donate: bool = True,
 ):
     """The per-round table work: [fold by r] -> evaluate at t=0..d ->
     lane-reduce. Keyed ONLY by shape/structure (no transcript state), so a
@@ -69,23 +71,45 @@ def _kernel_step(
                 lo, hi, r_digits, None, products, degree, do_fold,
                 block=block, interpret=interpret,
             )
-            if not do_fold:
-                pair = (lo, hi)
         else:
-            stacked = jnp.concatenate([lo, hi], axis=2)
+            # slot axis leading: digit-axis ops happen per slot slice
+            stacked = jnp.concatenate([lo, hi], axis=2)  # (U, 16, m)
             if do_fold:
-                stacked = engine.fold_tables(
-                    engine.DEVICE, stacked, r_digits[:, None, None]
+                stacked = jnp.stack(
+                    [
+                        engine.fold_tables(
+                            engine.DEVICE, stacked[u], r_digits[:, None]
+                        )
+                        for u in range(num_slots)
+                    ]
                 )
-            sums = engine.round_sums(
-                engine.DEVICE, stacked, None, jnp.asarray(idx_np), degree
-            )
-            m = stacked.shape[2] // 2
-            pair = (stacked[:, :, :m], stacked[:, :, m:])
+            m2 = stacked.shape[2] // 2
+            if m2 <= (1 << 14):  # int32 block reduction stays exact
+                from ..ops.round_pallas import _block_sums
+
+                E = [stacked[u, :, :m2] for u in range(num_slots)]
+                O = [stacked[u, :, m2:] for u in range(num_slots)]
+                part = _block_sums(E, O, None, products, degree)  # (d+1, 16)
+                rows = jnp.moveaxis(part, 1, 0)  # (16, d+1) relaxed
+                pad = [jnp.zeros_like(rows[0])] * (LJ.WIDE_DIGITS - NUM_DIGITS)
+                strict, _ = LJ._chain([rows[i] for i in range(NUM_DIGITS)] + pad)
+                sums = jnp.stack(strict)  # (WIDE, d+1) — already lane-reduced
+            else:
+                sums = engine.round_sums(
+                    engine.DEVICE, jnp.moveaxis(stacked, 0, 1), None,
+                    jnp.asarray(idx_np), degree,
+                )
+            if do_fold:
+                pair = (stacked[:, :, :m2], stacked[:, :, m2:])
+            else:
+                pair = None
+        # a no-fold round returns None for the pair: passing (lo, hi) through
+        # jit would materialize a full un-donated COPY of the tables (6.4 GB
+        # at nv=24) — the caller keeps using its existing handles instead
         return pair, sums
 
-    donate = (0, 1) if do_fold else ()
-    return jax.jit(fn, donate_argnums=donate)
+    dn = (0, 1) if (do_fold and donate) else ()
+    return jax.jit(fn, donate_argnums=dn)
 
 
 _kernel_step = functools.lru_cache(maxsize=None)(_kernel_step)
@@ -171,10 +195,19 @@ def _stacker(plan_key: tuple, need_ones: bool, n: int, num_tabs: int):
             ts.append(
                 jnp.broadcast_to(jnp.asarray(L.mont_scalar(1)), (NUM_DIGITS, n))
             )
-        s = jnp.stack(ts, axis=1)  # (16, num_slots, n)
+        # slot axis LEADING: (U, 16, n) tiles as (16 sublanes, n lanes) with
+        # zero padding; (16, U, n) would pad U up to 8 sublanes (1.33x HBM)
+        s = jnp.stack(ts, axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(stack)
+
+
+# above this many table bytes, the stacked pair is cached on the polynomial
+# (reused across proves; the chain then must not donate its first fold) and
+# the now-redundant per-MLE device copies are dropped — at nv=24 the 6-table
+# reference workload is 6.4 GB, and holding it twice exhausts a 16 GB HBM.
+_BIG_PAIR_BYTES = int(os.environ.get("SUMCHECK_TPU_BIG_PAIR_BYTES", 2 << 30))
 
 
 def init_pair(polynomial):
@@ -183,30 +216,50 @@ def init_pair(polynomial):
     coefficients pre-multiplied into one exclusive slot each, a constant-one
     slot only if some product needs ragged padding.
 
-    Returns (lo, hi, products, degree)."""
+    Returns (lo, hi, products, degree, reusable) — `reusable` means the pair
+    is a polynomial-level cache the chain must not donate on first fold."""
     import jax.numpy as jnp
 
     nv = polynomial.num_variables
     n = 1 << nv
     products, scale_plan, num_slots, need_ones = _fold_plan(polynomial)
-    tabs = tuple(m.device_bitrev() for m in polynomial.flattened_ml_extensions)
-    coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)
     plan_key = tuple((d, s) for d, s, _ in scale_plan)
+
+    cache = getattr(polynomial, "_dev_pair", None)
+    if cache is not None and cache[0] == plan_key:
+        lo, hi = cache[1]
+        return lo, hi, products, polynomial.max_multiplicands, True
+
+    mles = polynomial.flattened_ml_extensions
+    tabs = tuple(m.device_bitrev() for m in mles)
+    coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)
     lo, hi = _stacker(plan_key, need_ones, n, len(tabs))(tabs, coeff_cols)
-    return lo, hi, products, polynomial.max_multiplicands
+
+    big = num_slots * n * NUM_DIGITS * 4 >= _BIG_PAIR_BYTES
+    if big:
+        for m in mles:  # drop redundant per-MLE copies: the pair is the cache
+            m._dev_bitrev = None
+        try:
+            polynomial._dev_pair = (plan_key, (lo, hi))
+        except AttributeError:
+            big = False
+    return lo, hi, products, polynomial.max_multiplicands, big
 
 
-def chain_rounds(lo, hi, carry, blen, products, degree, num_rounds):
+def chain_rounds(lo, hi, carry, blen, products, degree, num_rounds,
+                 keep_input_pair: bool = False):
     """Enqueue `num_rounds` rounds (no host sync): per round one kernel
     dispatch + one transcript dispatch, output feeding input. Returns
     (msgs_dev, rs_dev, carry, blen, (lo, hi)) — all device handles; `rs_dev`
-    holds the sampled challenge digits (Montgomery form) per round."""
+    holds the sampled challenge digits (Montgomery form) per round.
+    `keep_input_pair` disables donation on the first fold (the input pair is
+    a polynomial-level cache reused by later proves)."""
     import jax.numpy as jnp
 
     from ..utils.config import get_config
 
     cfg = get_config()
-    num_slots = lo.shape[1]
+    num_slots = lo.shape[0]  # slot axis leads: (U, 16, half)
     msgs_dev, rs_dev = [], []
     r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
     for i in range(num_rounds):
@@ -218,9 +271,12 @@ def chain_rounds(lo, hi, carry, blen, products, degree, num_rounds):
             use_pallas=use_pallas,
             block=min(cfg.pallas_block, max(half // 2, 1)),
             interpret=cfg.pallas_interpret,
+            donate=not (keep_input_pair and i == 1),
         )
         tfn, blen = _transcript_step(blen, degree)
-        (lo, hi), sums = kfn(lo, hi, r)
+        pair, sums = kfn(lo, hi, r)
+        if pair is not None:
+            lo, hi = pair
         carry, canon, r = tfn(carry, sums)
         msgs_dev.append(canon)
         rs_dev.append(r)
@@ -321,11 +377,12 @@ def prove_chained(fs_rng, polynomial):
 
     nv = polynomial.num_variables
 
-    lo, hi, products, degree = init_pair(polynomial)
+    lo, hi, products, degree, reusable = init_pair(polynomial)
     ts = lift_transcript(fs_rng)
 
     msgs_dev, rs_dev, carry, blen, (lo, hi) = chain_rounds(
-        lo, hi, ts.carry(), ts.blen, products, degree, nv
+        lo, hi, ts.carry(), ts.blen, products, degree, nv,
+        keep_input_pair=reusable,
     )
 
     # ONE synchronization: proof + challenges + final transcript state

@@ -75,22 +75,26 @@ class ProverState:
     def __init__(self, randomness, list_of_products, stacked, num_vars, max_multiplicands):
         self.randomness: list[Fr] = randomness
         self.list_of_products: list[tuple[Fr, list[int]]] = list_of_products
-        self.stacked = stacked  # (16, U+1, n)
+        # host/legacy-device engine: (16, U+1, n) digit-leading array;
+        # chained device engine: (lo, hi) pair, slot axis leading (U, 16, half)
+        self.stacked = stacked
         self.num_vars = num_vars
         self.max_multiplicands = max_multiplicands
         self.round = 0
 
     @property
     def num_tables(self) -> int:
-        arr = self.stacked[0] if isinstance(self.stacked, tuple) else self.stacked
-        return arr.shape[1] - 1
+        if isinstance(self.stacked, tuple):
+            return self.stacked[0].shape[0]
+        return self.stacked.shape[1] - 1
 
     @property
     def flattened_ml_extensions(self) -> list:
-        """Per-table views (excluding the internal ones slot); mirrors the
+        """Per-table views (excluding any internal ones slot); mirrors the
         reference field of the same name."""
-        arr = self.stacked[0] if isinstance(self.stacked, tuple) else self.stacked
-        return [arr[:, i] for i in range(self.num_tables)]
+        if isinstance(self.stacked, tuple):
+            return [self.stacked[0][i] for i in range(self.num_tables)]
+        return [self.stacked[:, i] for i in range(self.num_tables)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -124,14 +128,7 @@ def prover_init(polynomial: ListOfProductsOfPolynomials) -> ProverState:
     if cfg.use_device(n):
         import jax.numpy as jnp
 
-        if cfg.use_pallas(n):
-            # fused-kernel engine carries the table as a (lo, hi) half pair
-            stacked = (
-                jnp.asarray(stacked[:, :, : n // 2]),
-                jnp.asarray(stacked[:, :, n // 2 :]),
-            )
-        else:
-            stacked = jnp.asarray(stacked)
+        stacked = jnp.asarray(stacked)
     return ProverState(
         randomness=[],
         list_of_products=[(c, list(ix)) for c, ix in polynomial.products],
@@ -178,19 +175,12 @@ def _run_round(state: ProverState, r_col, do_fold: bool):
     )[:, :, :, None]  # (16, P, 1, 1)
 
     cfg = get_config()
-    is_pair = isinstance(state.stacked, tuple)
-    n = 2 * state.stacked[0].shape[2] if is_pair else state.stacked.shape[2]
-    on_device = is_pair or not isinstance(state.stacked, np.ndarray)
+    n = state.stacked.shape[2]
+    on_device = not isinstance(state.stacked, np.ndarray)
     if on_device and not cfg.use_device(n):
-        # crossed the threshold: move the (small) tables to host for good.
-        # NOTE: the (lo, hi) pair concatenated IS the bit-reversed table.
-        if is_pair:
-            state.stacked = np.concatenate(
-                [np.asarray(state.stacked[0]), np.asarray(state.stacked[1])], axis=2
-            )
-        else:
-            state.stacked = np.asarray(state.stacked)
-        on_device = is_pair = False
+        # crossed the threshold: move the (small) tables to host for good
+        state.stacked = np.asarray(state.stacked)
+        on_device = False
 
     if not on_device:
         if do_fold:
@@ -198,32 +188,6 @@ def _run_round(state: ProverState, r_col, do_fold: bool):
         return engine.round_sums(engine.HOST, state.stacked, coeffs, idx_mat, degree)
 
     import jax.numpy as jnp
-
-    if is_pair:
-        from ..ops.round_pallas import round_pallas
-
-        products = tuple(
-            tuple(ix + [ones_slot] * (max_len - len(ix)))
-            for _, ix in state.list_of_products
-        )
-        r_digits = jnp.asarray(r_col[:, 0])
-        coeffs_pd = jnp.asarray(
-            np.stack([L.mont_scalar(c.v)[:, 0] for c, _ in state.list_of_products])
-        )
-        new_pair, sums = round_pallas(
-            state.stacked[0],
-            state.stacked[1],
-            r_digits,
-            coeffs_pd,
-            products,
-            degree,
-            do_fold,
-            block=cfg.pallas_block,
-            interpret=cfg.pallas_interpret,
-        )
-        if do_fold:
-            state.stacked = new_pair
-        return np.asarray(sums)
 
     fn = _compiled_round(n, len(idx_mat), max_len, degree, ones_slot + 1, do_fold)
     new_stacked, sums = fn(

@@ -33,3 +33,23 @@ def test_batched_rejects_mixed_shapes(rnd):
     p2 = _make(5, rnd)
     with pytest.raises(SumcheckError):
         BatchedMLSumcheck.prove([p1, p2])
+
+
+def test_batched_chained_matches_individual(rnd):
+    """The zero-sync chained batch path (vmapped device transcripts) must be
+    byte-identical to per-instance proving."""
+    from sumcheck_tpu.utils.config import get_config
+
+    nv, B = 5, 3
+    polys = [_make(nv, rnd) for _ in range(B)]
+    cfg = get_config()
+    old = (cfg.chained, cfg.device_threshold)
+    try:
+        cfg.chained, cfg.device_threshold = "off", 1 << 40
+        refs = [MLSumcheck.prove(p) for p in polys]
+        cfg.chained, cfg.device_threshold = "on", 1
+        batched = BatchedMLSumcheck.prove(polys)
+    finally:
+        cfg.chained, cfg.device_threshold = old
+    for ref, pf in zip(refs, batched):
+        assert all(a == b for a, b in zip(ref, pf)), "chained batch differs"

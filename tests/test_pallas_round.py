@@ -41,8 +41,10 @@ def test_pallas_round_matches_engine(rnd, do_fold):
         degree,
     )
 
-    lo = jnp.asarray(stacked[:, :, : n // 2])
-    hi = jnp.asarray(stacked[:, :, n // 2 :])
+    # kernel layout: slot axis leading (U, 16, half)
+    slotled = stacked.transpose(1, 0, 2)
+    lo = jnp.asarray(slotled[:, :, : n // 2])
+    hi = jnp.asarray(slotled[:, :, n // 2 :])
     r_digits = jnp.asarray(r[:, 0])
     coeffs_pd = jnp.asarray(coeffs[:, :, 0])
     new_pair, sums = round_pallas(
@@ -51,7 +53,7 @@ def test_pallas_round_matches_engine(rnd, do_fold):
     assert (np.asarray(sums) == ref_sums).all(), "sums differ"
     if do_fold:
         got = np.concatenate([np.asarray(new_pair[0]), np.asarray(new_pair[1])], axis=2)
-        assert (got == ref_tables).all(), "folded tables differ"
+        assert (got == ref_tables.transpose(1, 0, 2)).all(), "folded tables differ"
 
 
 def test_pallas_full_prove_matches_host(rnd):
