@@ -77,6 +77,14 @@ class DenseMLE:
     def to_fr_list(self) -> list[Fr]:
         return [Fr(v) for v in L.to_ints(self.evals)]
 
+    def host_packed_bitrev(self) -> np.ndarray:
+        """Host-side packed (NUM_DIGITS/2, 2^nv) uint32 copy — two 16-bit
+        digits per word — in bit-reversed index order (the upload format)."""
+        from .protocol.prover import bitrev_perm
+
+        packed = self.evals[0::2] | (self.evals[1::2] << 16)  # (8, n)
+        return packed[:, bitrev_perm(self.num_vars)]
+
     def device_bitrev(self):
         """Device-resident `(NUM_DIGITS, 2^nv) uint32` copy in bit-reversed
         index order (the prover's table layout — `protocol/prover.py`).
@@ -90,11 +98,6 @@ class DenseMLE:
             import jax
             import jax.numpy as jnp
 
-            from .protocol.prover import bitrev_perm
-
-            packed = self.evals[0::2] | (self.evals[1::2] << 16)  # (8, n)
-            packed = packed[:, bitrev_perm(self.num_vars)]
-
             @jax.jit
             def unpack(p):
                 lo = p & jnp.uint32(0xFFFF)
@@ -103,7 +106,7 @@ class DenseMLE:
                     NUM_DIGITS, p.shape[1]
                 )
 
-            self._dev_bitrev = unpack(jnp.asarray(packed))
+            self._dev_bitrev = unpack(jnp.asarray(self.host_packed_bitrev()))
         return self._dev_bitrev
 
     # -- algebra -----------------------------------------------------------

@@ -210,6 +210,75 @@ def _stacker(plan_key: tuple, need_ones: bool, n: int, num_tabs: int):
 _BIG_PAIR_BYTES = int(os.environ.get("SUMCHECK_TPU_BIG_PAIR_BYTES", 2 << 30))
 
 
+@functools.lru_cache(maxsize=None)
+def _slot_writer(num_slots: int, n: int, do_scale: bool):
+    """Unpack one packed (8, n) table upload, optionally Montgomery-scale it,
+    and write its halves into slot `u` of the donated (lo, hi) pair —
+    incremental init keeps peak HBM at pair + ONE table instead of pair +
+    all tables (nv=24's 6-table workload OOMs a 16 GB chip otherwise)."""
+    import jax
+    import jax.numpy as jnp
+
+    half = n // 2
+
+    def fn(lo, hi, packed, coeff_col, u):
+        p_lo = packed & jnp.uint32(0xFFFF)
+        p_hi = packed >> 16
+        tbl = jnp.stack([p_lo, p_hi], axis=1).reshape(NUM_DIGITS, n)
+        if do_scale:
+            tbl = LJ.mont_mul(tbl, coeff_col)
+        lo = jax.lax.dynamic_update_slice(lo, tbl[None, :, :half], (u, 0, 0))
+        hi = jax.lax.dynamic_update_slice(hi, tbl[None, :, half:], (u, 0, 0))
+        return lo, hi
+
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _ones_writer(n: int):
+    import jax
+    import jax.numpy as jnp
+
+    half = n // 2
+
+    def fn(lo, hi, u):
+        ones = jnp.broadcast_to(
+            jnp.asarray(L.mont_scalar(1)), (1, NUM_DIGITS, half)
+        )
+        lo = jax.lax.dynamic_update_slice(lo, ones, (u, 0, 0))
+        hi = jax.lax.dynamic_update_slice(hi, ones, (u, 0, 0))
+        return lo, hi
+
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def _init_pair_incremental(polynomial, plan_key, scale_plan, num_slots,
+                           need_ones, n):
+    """Big-table init: one packed upload + unpack + slot write per table."""
+    import jax.numpy as jnp
+
+    mles = polynomial.flattened_ml_extensions
+    lo = jnp.zeros((num_slots, NUM_DIGITS, n // 2), jnp.uint32)
+    hi = jnp.zeros((num_slots, NUM_DIGITS, n // 2), jnp.uint32)
+    inplace = {src: c for dst, src, c in scale_plan if dst == src}
+    copies = [(dst, src, c) for dst, src, c in scale_plan if dst != src]
+    one_col = jnp.asarray(L.mont_scalar(1))
+    for u, m in enumerate(mles):
+        packed = jnp.asarray(m.host_packed_bitrev())
+        if u in inplace:
+            col = jnp.asarray(L.mont_scalar(inplace[u]))
+            lo, hi = _slot_writer(num_slots, n, True)(lo, hi, packed, col, u)
+        else:
+            lo, hi = _slot_writer(num_slots, n, False)(lo, hi, packed, one_col, u)
+        for dst, src, c in copies:
+            if src == u:
+                col = jnp.asarray(L.mont_scalar(c))
+                lo, hi = _slot_writer(num_slots, n, True)(lo, hi, packed, col, dst)
+    if need_ones:
+        lo, hi = _ones_writer(n)(lo, hi, num_slots - 1)
+    return lo, hi
+
+
 def init_pair(polynomial):
     """Build the (lo, hi) table pair the round kernels consume: unique tables
     (device-cached, bit-reversed — `DenseMLE.device_bitrev`), product
@@ -231,19 +300,23 @@ def init_pair(polynomial):
         return lo, hi, products, polynomial.max_multiplicands, True
 
     mles = polynomial.flattened_ml_extensions
-    tabs = tuple(m.device_bitrev() for m in mles)
-    coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)
-    lo, hi = _stacker(plan_key, need_ones, n, len(tabs))(tabs, coeff_cols)
-
     big = num_slots * n * NUM_DIGITS * 4 >= _BIG_PAIR_BYTES
     if big:
-        for m in mles:  # drop redundant per-MLE copies: the pair is the cache
+        lo, hi = _init_pair_incremental(
+            polynomial, plan_key, scale_plan, num_slots, need_ones, n
+        )
+        for m in mles:  # the pair is the device cache; per-MLE copies waste HBM
             m._dev_bitrev = None
         try:
             polynomial._dev_pair = (plan_key, (lo, hi))
         except AttributeError:
             big = False
-    return lo, hi, products, polynomial.max_multiplicands, big
+        return lo, hi, products, polynomial.max_multiplicands, big
+
+    tabs = tuple(m.device_bitrev() for m in mles)
+    coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)
+    lo, hi = _stacker(plan_key, need_ones, n, len(tabs))(tabs, coeff_cols)
+    return lo, hi, products, polynomial.max_multiplicands, False
 
 
 def chain_rounds(lo, hi, carry, blen, products, degree, num_rounds,
