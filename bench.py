@@ -1,11 +1,18 @@
 """Benchmark harness for the reference's headline workloads.
 
 Modes (BENCH_PROTO):
+  all     (default) the driver-captured set: ML nv=20 (headline line),
+          GKR nv=18 (BASELINE config 3), batched nv=16 (config 4). Extra
+          results land in BENCH_EXTRA.json; the ONE printed JSON line is the
+          ML nv=20 headline.
   ml      MLSumcheck prove, 2 products x 3 multiplicands (degree-3 rounds) —
           reference `sumcheck-benches/benches/ml_sumcheck_bench.rs:21-31`.
   gkr     GKRRoundSumcheck prove, sparse f1 with 2^nv nonzeros over 3nv vars —
           reference `gkr_round_sumcheck_bench.rs:21-23`.
   batch   Throughput mode: BENCH_BATCH independent instances per chip.
+  sweep   criterion-equivalent sweep nv=BENCH_SWEEP (default 10:22) of prove
+          AND verify for both protocols, with %SOL per size (measured
+          ALU/HBM rooflines — utils/sol.py); artifact: BENCH_SWEEP.json.
 
 Baseline (BASELINE.md): Intel Xeon 6136 @3.0GHz.
 
@@ -14,7 +21,7 @@ Prints ONE JSON line:
 with vs_baseline = baseline_seconds / our_seconds (>1 means faster).
 
 Environment: BENCH_NV (default 20 ml / 18 gkr / 16 batch), BENCH_REPS
-(default 3; best rep reported), BENCH_BATCH (default 8).
+(default 3; best rep reported), BENCH_BATCH (default 8), BENCH_SWEEP.
 """
 
 from __future__ import annotations
@@ -26,7 +33,8 @@ import time
 
 import numpy as np
 
-# persistent compilation cache: per-round-size jits survive across runs
+# persistent compilation cache: the shape-generic chain programs survive
+# across runs AND are shared across instance sizes (generic_pad families)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
@@ -43,10 +51,31 @@ from sumcheck_tpu import (
 )
 from sumcheck_tpu.fields.fr import NUM_DIGITS, P
 
-# chart-read reference numbers (BASELINE.md; +-15%); nv>20 extrapolated on
-# the charts' 2x-per-variable slope (the prover is linear in 2^nv)
+# chart-read reference numbers (BASELINE.md; +-15%); the prover is linear in
+# 2^nv (2x per variable), the verifier linear in nv — interpolate on those.
 BASELINE_ML_PROVE_S = {10: 2.4e-3, 14: 45e-3, 16: 0.2, 18: 0.9, 20: 3.5, 22: 14.0, 24: 56.0}
 BASELINE_GKR_PROVE_S = {10: 2.5e-3, 14: 50e-3, 16: 0.22, 18: 0.95, 20: 3.8, 22: 15.2}
+
+
+def baseline_prove(table: dict, nv: int) -> float:
+    if nv in table:
+        return table[nv]
+    ks = sorted(table)
+    lo = max((k for k in ks if k < nv), default=None)
+    hi = min((k for k in ks if k > nv), default=None)
+    if lo is not None and hi is not None:  # geometric interpolation (2x/nv)
+        f = (nv - lo) / (hi - lo)
+        return table[lo] * (table[hi] / table[lo]) ** f
+    anchor = lo if lo is not None else hi
+    return table[anchor] * (2.0 ** (nv - anchor))
+
+
+def baseline_ml_verify(nv: int) -> float:
+    return 0.35e-3 + (nv - 10) * 0.035e-3  # 0.35ms@10 -> 0.70ms@20, linear
+
+
+def baseline_gkr_verify(nv: int) -> float:
+    return 0.39e-3 + (nv - 10) * 0.037e-3  # 0.39ms@10 -> 0.76ms@20
 
 
 def random_mle(nv: int, rng) -> DenseMLE:
@@ -64,47 +93,63 @@ def build_ml_poly(nv: int, rng) -> ListOfProductsOfPolynomials:
     return poly
 
 
-def bench_ml(nv: int, reps: int, rng):
-    poly = build_ml_poly(nv, rng)
-    info = poly.info()
-    t0 = time.perf_counter()
-    proof = MLSumcheck.prove(poly)
-    print(f"# warmup prove (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
-    sub = MLSumcheck.verify(info, MLSumcheck.extract_sum(proof), proof)
-    vt0 = time.perf_counter()
-    MLSumcheck.verify(info, MLSumcheck.extract_sum(proof), proof)
-    print(f"# verify: {(time.perf_counter()-vt0)*1e3:.2f}ms", file=sys.stderr)
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        MLSumcheck.prove(poly)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(f"# prove rep {i}: {dt:.3f}s", file=sys.stderr)
-    return f"mlsumcheck_prove_nv{nv}_wallclock", best, BASELINE_ML_PROVE_S.get(nv)
-
-
-def bench_gkr(nv: int, reps: int, rng):
+def build_gkr_instance(nv: int, rng):
     import random
 
     prnd = random.Random(7)
     f1 = SparseMLE.rand_with_config(3 * nv, 1 << nv, prnd)
     f2, f3 = random_mle(nv, rng), random_mle(nv, rng)
     g = [Fr(prnd.randrange(P)) for _ in range(nv)]
-    t0 = time.perf_counter()
-    proof = GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
-    print(f"# warmup prove (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
-    vt0 = time.perf_counter()
-    GKRRoundSumcheck.verify(Blake2b512Rng.setup(), nv, proof, proof.extract_sum())
-    print(f"# verify: {(time.perf_counter()-vt0)*1e3:.2f}ms", file=sys.stderr)
+    return f1, f2, f3, g
+
+
+def time_best(fn, reps: int, label: str) -> float:
     best = float("inf")
     for i in range(reps):
         t0 = time.perf_counter()
-        GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+        fn()
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        print(f"# prove rep {i}: {dt:.3f}s", file=sys.stderr)
-    return f"gkr_round_sumcheck_prove_nv{nv}_wallclock", best, BASELINE_GKR_PROVE_S.get(nv)
+        print(f"# {label} rep {i}: {dt:.4f}s", file=sys.stderr)
+    return best
+
+
+def bench_ml(nv: int, reps: int, rng):
+    poly = build_ml_poly(nv, rng)
+    info = poly.info()
+    t0 = time.perf_counter()
+    proof = MLSumcheck.prove(poly)
+    print(f"# ml nv={nv} warmup prove (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
+    s = MLSumcheck.extract_sum(proof)
+    MLSumcheck.verify(info, s, proof)
+    vt0 = time.perf_counter()
+    vreps = 10
+    for _ in range(vreps):
+        MLSumcheck.verify(info, s, proof)
+    verify_s = (time.perf_counter() - vt0) / vreps
+    print(f"# ml nv={nv} verify: {verify_s*1e3:.3f}ms", file=sys.stderr)
+    best = time_best(lambda: MLSumcheck.prove(poly), reps, f"ml nv={nv} prove")
+    return best, verify_s
+
+
+def bench_gkr(nv: int, reps: int, rng):
+    f1, f2, f3, g = build_gkr_instance(nv, rng)
+    t0 = time.perf_counter()
+    proof = GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+    print(f"# gkr nv={nv} warmup prove (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
+    s = proof.extract_sum()
+    GKRRoundSumcheck.verify(Blake2b512Rng.setup(), nv, proof, s)
+    vt0 = time.perf_counter()
+    vreps = 10
+    for _ in range(vreps):
+        GKRRoundSumcheck.verify(Blake2b512Rng.setup(), nv, proof, s)
+    verify_s = (time.perf_counter() - vt0) / vreps
+    print(f"# gkr nv={nv} verify: {verify_s*1e3:.3f}ms", file=sys.stderr)
+    best = time_best(
+        lambda: GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g),
+        reps, f"gkr nv={nv} prove",
+    )
+    return best, verify_s
 
 
 def bench_batch(nv: int, reps: int, rng, batch: int):
@@ -113,33 +158,111 @@ def bench_batch(nv: int, reps: int, rng, batch: int):
     polys = [build_ml_poly(nv, rng) for _ in range(batch)]
     t0 = time.perf_counter()
     BatchedMLSumcheck.prove(polys)
-    print(f"# warmup batch (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        BatchedMLSumcheck.prove(polys)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(f"# batch rep {i}: {dt:.3f}s per {batch} proofs", file=sys.stderr)
-    per = best / batch
-    base = BASELINE_ML_PROVE_S.get(nv)
-    return f"batched{batch}_mlsumcheck_prove_nv{nv}_per_proof", per, base
+    print(f"# batch warmup (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
+    best = time_best(lambda: BatchedMLSumcheck.prove(polys), reps, f"batch{batch} nv={nv}")
+    return best / batch
+
+
+def _ml_sol(nv: int, roofline) -> dict:
+    from sumcheck_tpu.utils.sol import count_prove_ops, sol_seconds
+
+    # reference ML workload: 6 unique tables (slots), 2 products, 3
+    # multiplicands, degree 3, coefficients folded in-place (no extra slot)
+    return sol_seconds(count_prove_ops(nv, 6, 2, 3, 3), roofline)
+
+
+def bench_sweep(reps: int, rng):
+    from sumcheck_tpu.utils.sol import measure_roofline
+
+    span = os.environ.get("BENCH_SWEEP", "10:22")
+    lo, hi = (int(x) for x in span.split(":"))
+    roofline = measure_roofline()
+    print(f"# roofline: {roofline}", file=sys.stderr)
+    rows = []
+    for nv in range(lo, hi):
+        prove_s, verify_s = bench_ml(nv, reps, rng)
+        sol = _ml_sol(nv, roofline)
+        rows.append({
+            "proto": "ml", "nv": nv,
+            "prove_s": round(prove_s, 6), "verify_s": round(verify_s, 6),
+            "vs_baseline_prove": round(baseline_prove(BASELINE_ML_PROVE_S, nv) / prove_s, 3),
+            "vs_baseline_verify": round(baseline_ml_verify(nv) / verify_s, 3),
+            "sol_s": round(sol["sol_s"], 6), "sol_bound": sol["bound"],
+            "pct_sol": round(100 * sol["sol_s"] / prove_s, 2),
+        })
+        print(f"# {rows[-1]}", file=sys.stderr)
+    for nv in range(lo, hi):
+        prove_s, verify_s = bench_gkr(nv, reps, rng)
+        rows.append({
+            "proto": "gkr", "nv": nv,
+            "prove_s": round(prove_s, 6), "verify_s": round(verify_s, 6),
+            "vs_baseline_prove": round(baseline_prove(BASELINE_GKR_PROVE_S, nv) / prove_s, 3),
+            "vs_baseline_verify": round(baseline_gkr_verify(nv) / verify_s, 3),
+        })
+        print(f"# {rows[-1]}", file=sys.stderr)
+    out = {"roofline": roofline, "rows": rows}
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SWEEP.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# wrote {path}", file=sys.stderr)
+    ml20 = next(r for r in rows if r["proto"] == "ml" and r["nv"] == 20)
+    return "mlsumcheck_prove_nv20_wallclock", ml20["prove_s"], BASELINE_ML_PROVE_S[20]
+
+
+def bench_all(reps: int, rng):
+    extra = {}
+    ml_prove, ml_verify = bench_ml(20, reps, rng)
+    extra["ml_nv20"] = {
+        "prove_s": round(ml_prove, 6), "verify_s": round(ml_verify, 6),
+        "vs_baseline_prove": round(BASELINE_ML_PROVE_S[20] / ml_prove, 3),
+        "vs_baseline_verify": round(baseline_ml_verify(20) / ml_verify, 3),
+    }
+    try:
+        gkr_prove, gkr_verify = bench_gkr(18, reps, rng)
+        extra["gkr_nv18"] = {
+            "prove_s": round(gkr_prove, 6), "verify_s": round(gkr_verify, 6),
+            "vs_baseline_prove": round(BASELINE_GKR_PROVE_S[18] / gkr_prove, 3),
+            "vs_baseline_verify": round(baseline_gkr_verify(18) / gkr_verify, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — record, don't lose the headline
+        extra["gkr_nv18"] = {"error": repr(e)}
+    try:
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        per = bench_batch(16, reps, rng, batch)
+        extra[f"batch{batch}_nv16"] = {
+            "prove_s_per_proof": round(per, 6),
+            "vs_baseline": round(BASELINE_ML_PROVE_S[16] / per, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        extra["batch_nv16"] = {"error": repr(e)}
+    path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+    with open(path, "w") as f:
+        json.dump(extra, f, indent=1)
+    print(f"# wrote {path}: {json.dumps(extra)}", file=sys.stderr)
+    return "mlsumcheck_prove_nv20_wallclock", ml_prove, BASELINE_ML_PROVE_S[20]
 
 
 def main() -> None:
-    proto = os.environ.get("BENCH_PROTO", "ml")
+    proto = os.environ.get("BENCH_PROTO", "all")
     reps = int(os.environ.get("BENCH_REPS", "3"))
     rng = np.random.default_rng(42)
     if proto == "gkr":
         nv = int(os.environ.get("BENCH_NV", "18"))
-        metric, best, baseline = bench_gkr(nv, reps, rng)
+        best, _ = bench_gkr(nv, reps, rng)
+        metric, baseline = f"gkr_round_sumcheck_prove_nv{nv}_wallclock", baseline_prove(BASELINE_GKR_PROVE_S, nv)
     elif proto == "batch":
         nv = int(os.environ.get("BENCH_NV", "16"))
         batch = int(os.environ.get("BENCH_BATCH", "8"))
-        metric, best, baseline = bench_batch(nv, reps, rng, batch)
-    else:
+        best = bench_batch(nv, reps, rng, batch)
+        metric, baseline = f"batched{batch}_mlsumcheck_prove_nv{nv}_per_proof", baseline_prove(BASELINE_ML_PROVE_S, nv)
+    elif proto == "ml":
         nv = int(os.environ.get("BENCH_NV", "20"))
-        metric, best, baseline = bench_ml(nv, reps, rng)
+        best, _ = bench_ml(nv, reps, rng)
+        metric, baseline = f"mlsumcheck_prove_nv{nv}_wallclock", baseline_prove(BASELINE_ML_PROVE_S, nv)
+    elif proto == "sweep":
+        metric, best, baseline = bench_sweep(reps, rng)
+    else:
+        metric, best, baseline = bench_all(reps, rng)
     vs = (baseline / best) if baseline else None
     print(
         json.dumps(

@@ -68,9 +68,11 @@ def fr_to_bytes(x: int) -> bytes:
 
 
 def fr_from_bytes(b: bytes) -> int:
+    from ..utils.errors import SerializationError
+
     v = int.from_bytes(b, "little")
     if v >= P:
-        raise ValueError("non-canonical Fr encoding")
+        raise SerializationError("non-canonical Fr encoding")
     return v
 
 

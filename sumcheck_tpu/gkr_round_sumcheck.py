@@ -100,12 +100,41 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
         msgs_from_host,
         restore_transcript,
     )
+    from .utils.config import get_config
 
     hg_dev, (x, y, w) = GI.phase1_init_device_arrays(f1, f3, list(g), dim)
     lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
 
     ts = lift_transcript(rng)
     products = ((0, 1),)  # unit coefficient: nothing to fold into the tables
+
+    if get_config().chain_impl == "generic":
+        # ONE compiled round program serves all 2*dim rounds of BOTH phases
+        # (same table extent, slots, degree) — see protocol/generic_prover.py.
+        from .protocol.generic_prover import _fetch, chain_rounds_generic, pad_pair
+
+        H0 = lo1.shape[2]
+        lo1, hi1 = pad_pair(lo1, hi1)
+        state = (ts.h, ts.t, ts.buf, jnp.uint32(ts.blen))
+        msgs1, rs1, state, pair1 = chain_rounds_generic(
+            lo1, hi1, state, products, 2, dim, active_pairs=H0
+        )
+        f2_u = GI._compiled_final_fold(1)(
+            pair1[0][:, :, :1], pair1[1][:, :, :1], rs1[-1]
+        )
+        f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
+            x, y, w, jnp.stack(rs1)
+        )
+        lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
+        lo2, hi2 = pad_pair(lo2, hi2)
+        msgs2, rs2, state, _ = chain_rounds_generic(
+            lo2, hi2, state, products, 2, dim, active_pairs=H0
+        )
+        msgs_h, _rs_h, carry_h, blen = _fetch(msgs1 + msgs2, rs1 + rs2, state, 2)
+        restore_transcript(rng, carry_h, blen)
+        return GKRProof(
+            msgs_from_host(msgs_h[:dim], 2), msgs_from_host(msgs_h[dim:], 2)
+        )
 
     msgs1, rs1, carry, blen, pair1 = chain_rounds(
         lo1, hi1, ts.carry(), ts.blen, products, 2, dim

@@ -93,6 +93,10 @@ class MLSumcheck:
             and isinstance(fs_rng, Blake2b512Rng)
             and polynomial.num_variables >= 1
         ):
+            if cfg.chain_impl == "generic":
+                from .protocol.generic_prover import prove_generic
+
+                return prove_generic(fs_rng, polynomial)
             from .protocol.device_prover import prove_chained
 
             return prove_chained(fs_rng, polynomial)

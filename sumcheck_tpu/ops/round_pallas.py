@@ -34,7 +34,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fields import limbs_jnp as LJ
 from ..fields.fr import NUM_DIGITS

@@ -29,7 +29,6 @@ import functools
 
 import numpy as np
 
-from ..fields.fr import NUM_DIGITS
 from ..protocol.prover import bitrev_perm
 
 

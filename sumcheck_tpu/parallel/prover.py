@@ -9,8 +9,7 @@ sums, and folding is shard-local), but each round's work is spread over a
 Usage::
 
     mesh_prover = ShardedProver(mesh)            # or ShardedProver.auto()
-    proof, state = MLSumcheck.prove_as_subprotocol(
-        fs_rng, poly, prover_init=mesh_prover.prover_init)
+    proof, state = mesh_prover.prove_as_subprotocol(fs_rng, poly)
 
 or the convenience `mesh_prover.prove(poly)` mirroring `MLSumcheck.prove`.
 """
@@ -122,14 +121,12 @@ class ShardedProver:
 
     def prove(self, polynomial):
         """Mirror of `MLSumcheck.prove` over this mesh (bit-identical proof)."""
-        from ..ml_sumcheck import MLSumcheck
         from ..transcript.blake2b_rng import Blake2b512Rng
 
         fs_rng = Blake2b512Rng.setup()
         return self.prove_as_subprotocol(fs_rng, polynomial)[0]
 
     def prove_as_subprotocol(self, fs_rng, polynomial):
-        from ..ml_sumcheck import MLSumcheck
         from ..protocol import IPForMLSumcheck
 
         fs_rng.feed(polynomial.info())

@@ -108,11 +108,11 @@ def _kernel_step(
         # at nv=24) — the caller keeps using its existing handles instead
         return pair, sums
 
-    dn = (0, 1) if (do_fold and donate) else ()
+    # Donating pays only when XLA can alias in-place: the big fold rounds.
+    # Small tail rounds (< 256 lanes) can't alias (layout-padded) and warn
+    # "donated buffers were not usable" while silently copying — skip them.
+    dn = (0, 1) if (do_fold and donate and half >= 512) else ()
     return jax.jit(fn, donate_argnums=dn)
-
-
-_kernel_step = functools.lru_cache(maxsize=None)(_kernel_step)
 
 
 @functools.lru_cache(maxsize=None)

@@ -131,21 +131,46 @@ def interpolate_uni_poly(p_i: list[Fr], eval_at: Fr) -> Fr:
         return p_i[n - 1]
 
     # res = sum_i p_i[i] * prod_j (eval_at - j) / ((eval_at - i) * prod_{j!=i} (i-j))
-    # denominators via the reference's running-ratio recurrence (single
-    # field-arithmetic branch; results identical to the i64/i128 fast paths).
-    denom_up = _field_factorial(n - 1)
-    denom_down = Fr.one()
+    #     = prod * sum_i p_i[i] * C_i / evals[i],
+    # with Lagrange constants C_i = 1 / (i! * (n-1-i)! * (-1)^(n-1-i)).
+    # Algebraically identical to the reference's running-ratio recurrence
+    # (`verifier.rs:191-248`; its three integer-width branches are a CPU
+    # optimization with identical field results). C_i is cached per degree
+    # and the per-term divisions are replaced by one batched inversion
+    # (Montgomery's trick), so each call costs a single modular inversion.
+    consts = _lagrange_consts(n)
+    invs = _batch_inverse(evals)
     res = Fr.zero()
-    for i in range(n - 1, -1, -1):
-        res = res + p_i[i] * prod * denom_down / (denom_up * evals[i])
-        if i != 0:
-            denom_up = denom_up * (-Fr(n - i))
-            denom_down = denom_down * Fr(i)
-    return res
+    for i in range(n):
+        res = res + p_i[i] * consts[i] * invs[i]
+    return prod * res
 
 
-def _field_factorial(a: int) -> Fr:
-    res = Fr.one()
-    for i in range(1, a + 1):
-        res = res * Fr(i)
-    return res
+def _lagrange_consts(n: int, _cache: dict = {}) -> list[Fr]:
+    out = _cache.get(n)
+    if out is None:
+        fact = [Fr.one()]
+        for i in range(1, n):
+            fact.append(fact[-1] * Fr(i))
+        out = [
+            (fact[i] * fact[n - 1 - i]).inverse() * (Fr(-1) ** (n - 1 - i))
+            for i in range(n)
+        ]
+        _cache[n] = out
+    return out
+
+
+def _batch_inverse(xs: list[Fr]) -> list[Fr]:
+    """Montgomery's trick: n inversions for one `pow` plus 3(n-1) multiplies."""
+    prefix = []
+    acc = Fr.one()
+    for x in xs:
+        acc = acc * x
+        prefix.append(acc)
+    inv = acc.inverse()
+    out = [Fr.zero()] * len(xs)
+    for i in range(len(xs) - 1, 0, -1):
+        out[i] = inv * prefix[i - 1]
+        inv = inv * xs[i]
+    out[0] = inv
+    return out

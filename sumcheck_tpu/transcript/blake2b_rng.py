@@ -22,23 +22,59 @@ bigint IS the Montgomery representation, so the canonical value is
 
 from __future__ import annotations
 
+import hashlib
+
 from ..fields.fr import P, R_INV
 from .blake2b_core import Blake2b512
 
 _BLOCK = 64  # Blake2b512 output size
 
 
+class _FastCore:
+    """hashlib-backed Blake2b-512 with a byte log.
+
+    The C implementation is ~500x faster per compression than the explicit
+    pure-Python core, but hides its internal state. The transcript needs the
+    explicit `(h, t, buf)` state only at the (rare) moment a chained device
+    prove lifts it — so we hash with hashlib and keep the absorbed byte
+    stream; `state_tuple()` replays that stream through the explicit core
+    (a few dozen bytes for a typical prove prefix). After a device segment
+    restores an explicit state, the rng switches to the pure-Python core
+    (`Blake2b512.from_state`), since hashlib cannot be re-seeded."""
+
+    __slots__ = ("_h", "_log")
+
+    def __init__(self):
+        self._h = hashlib.blake2b(digest_size=64)
+        self._log = bytearray()
+
+    def update(self, data: bytes) -> None:
+        self._h.update(data)
+        self._log += data
+
+    def copy(self):
+        return self._h.copy()  # callers only .digest() the copy
+
+    def state_tuple(self):
+        core = Blake2b512()
+        core.update(bytes(self._log))
+        return core.state_tuple()
+
+
 class Blake2b512Rng:
     """Deterministic feed/sample transcript (`FeedableRNG` equivalent).
 
-    Backed by the explicit-state `Blake2b512` core so the prover can lift a
-    mid-stream transcript onto the device (`transcript/device.py`) and restore
-    it after a chained on-device prove."""
+    Fresh transcripts hash through `hashlib` (`_FastCore`) — the verifier is
+    pure host-side and dominated by hashing, so this is the difference between
+    ~60 ms and <1 ms per nv=20 verify. The explicit-state core
+    (`blake2b_core.Blake2b512`) takes over only after `set_state` (returning
+    from a chained on-device prove), where continuing from an arbitrary
+    `(h, t, buf)` is required."""
 
     __slots__ = ("_h",)
 
     def __init__(self):
-        self._h = Blake2b512()
+        self._h = _FastCore()
 
     @classmethod
     def setup(cls) -> "Blake2b512Rng":
@@ -57,16 +93,19 @@ class Blake2b512Rng:
             self._h.update(msg.serialize_uncompressed())
 
     def fill_bytes(self, n: int) -> bytes:
+        # Block-sliced form of `rng.rs:61-80`: emit from a finalized clone;
+        # every fully-consumed 64-byte block is re-absorbed and re-finalized;
+        # the block held at exit (even unconsumed — the 64-aligned corner
+        # case) is absorbed too. Byte-identical to the per-byte loop.
         out = bytearray()
+        rem = n
         block = self._h.copy().digest()
-        ptr = 0
-        while len(out) < n:
-            out.append(block[ptr])
-            ptr += 1
-            if ptr == _BLOCK:
-                self._h.update(block)
-                block = self._h.copy().digest()
-                ptr = 0
+        while rem >= _BLOCK:
+            out += block
+            self._h.update(block)
+            block = self._h.copy().digest()
+            rem -= _BLOCK
+        out += block[:rem]
         self._h.update(block)
         return bytes(out)
 

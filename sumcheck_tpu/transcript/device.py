@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.fr import NUM_DIGITS, P_DIGITS
-from .blake2b_core import BLOCK_BYTES, H0, IV, MASK64, SIGMA
+from .blake2b_core import BLOCK_BYTES, IV, SIGMA
 
 _U32 = jnp.uint32
 _LO32 = (1 << 32) - 1
@@ -249,6 +249,91 @@ def fr_rand(ts: DevTranscript) -> tuple[jnp.ndarray, DevTranscript]:
     init = (ts.carry(), jnp.zeros((NUM_DIGITS,), _U32), jnp.asarray(False))
     carry, digits, _ = jax.lax.while_loop(cond, body, (init[0], init[1], init[2]))
     return digits, DevTranscript.from_carry(carry, blen)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-blen transcript ops (shape-generic chained prover)
+#
+# The static-`blen` path above compiles one tiny program per pending-byte
+# count (~16 programs over a prove). The ops below carry `blen` as a traced
+# u32 instead, so ONE compiled round step serves every round — the fix for
+# the cold-compile wall (one jit per table size AND per byte offset).
+# State tuple: (h (8,2) u32, t () u32, buf (16,2) u32, blen () u32).
+# ---------------------------------------------------------------------------
+
+def absorb_dyn(state, words, nbytes: int):
+    """Absorb `nbytes` (static, multiple of 8) at a *dynamic* pending offset.
+
+    Mirrors `Blake2b512.update`: append to the pending block, compress every
+    full 128-byte block (0..ncomp_max of them, trip count dynamic), keep the
+    remainder pending. `words`: (nbytes/8, 2) u32."""
+    h, t, buf, blen = state
+    k = words.shape[0]
+    assert nbytes % 8 == 0 and k == nbytes // 8
+    ncomp_max = (BLOCK_BYTES + nbytes - 1) // BLOCK_BYTES
+    cap = 16 * (ncomp_max + 1)
+    ext = jnp.zeros((cap, 2), _U32)
+    ext = jax.lax.dynamic_update_slice(ext, buf, (0, 0))
+    w0 = (blen >> 3).astype(jnp.int32)
+    ext = jax.lax.dynamic_update_slice(ext, words, (w0, 0))
+    total = blen + _U32(nbytes)
+    # host model: `while total > 128: compress; total -= 128`
+    ncomp = ((total - _U32(1)) // _U32(BLOCK_BYTES)).astype(jnp.int32)
+
+    def body(i, ht):
+        hh, tt = ht
+        m = jax.lax.dynamic_slice(ext, (16 * i, 0), (16, 2))
+        tt = tt + _U32(BLOCK_BYTES)
+        return compress(hh, m, tt, last=False), tt
+
+    h, t = jax.lax.fori_loop(0, ncomp, body, (h, t))
+    buf = jax.lax.dynamic_slice(ext, (16 * ncomp, 0), (16, 2))
+    blen = total - _U32(BLOCK_BYTES) * ncomp.astype(_U32)
+    return (h, t, buf, blen)
+
+
+def next_u64_dyn(state):
+    """One `fill_bytes(8)` with dynamic pending length: emit word 0 of a
+    finalized clone, re-absorb the 64-byte block (`rng.rs:61-80`)."""
+    h, t, buf, blen = state
+    block = compress(h, buf, t + blen, last=True)
+    return block[0], absorb_dyn(state, block, 64)
+
+
+def fr_rand_dyn(state):
+    """ark-ff rejection sampling over the dynamic-blen transcript. Returns
+    ((16,) u32 Montgomery digits, new state)."""
+
+    def attempt(st):
+        ws = []
+        for _ in range(4):
+            w, st = next_u64_dyn(st)
+            ws.append(w)
+        words = jnp.stack(ws)
+        words = words.at[3, 1].set(words[3, 1] & _U32(0x7FFFFFFF))
+        digits = _words_to_digits(words)
+        return st, digits, _lt_p(digits)
+
+    def cond(carry):
+        return ~carry[2]
+
+    def body(carry):
+        return attempt(carry[0])
+
+    init = (state, jnp.zeros((NUM_DIGITS,), _U32), jnp.asarray(False))
+    st, digits, _ = jax.lax.while_loop(cond, body, body(init))
+    return digits, st
+
+
+def feed_fr_vec_dyn(state, digits_canonical):
+    """Absorb a `Vec<Fr>` (u64 LE length prefix + 32 LE bytes/element) at a
+    dynamic pending offset. digits_canonical: (16, k) canonical residues."""
+    k = digits_canonical.shape[1]
+    d = digits_canonical
+    lo = d[0::2] | (d[1::2] << 16)
+    words = jnp.moveaxis(lo, 1, 0).reshape(4 * k, 2)
+    prefix = _const64([k])
+    return absorb_dyn(state, jnp.concatenate([prefix, words], axis=0), 8 + 32 * k)
 
 
 def feed_fr_vec(ts: DevTranscript, digits_canonical) -> DevTranscript:

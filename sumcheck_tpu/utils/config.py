@@ -25,6 +25,26 @@ class Config:
     pallas: str = os.environ.get("SUMCHECK_TPU_PALLAS", "auto")  # auto|on|off
     pallas_block: int = int(os.environ.get("SUMCHECK_TPU_PALLAS_BLOCK", 1 << 8))
     chained: str = os.environ.get("SUMCHECK_TPU_CHAINED", "auto")  # auto|on|off
+    # chained implementation: "generic" = one shape-generic program for all
+    # rounds (protocol/generic_prover.py — no per-size recompiles, the
+    # cold-compile fix); "persize" = one fused program per table size
+    # (protocol/device_prover.py).
+    chain_impl: str = os.environ.get("SUMCHECK_TPU_CHAIN_IMPL", "generic")
+    generic_block: int = int(os.environ.get("SUMCHECK_TPU_GENERIC_BLOCK", 1 << 13))
+    # pad generic-chain buffers up to this lane family so every instance size
+    # below it reuses ONE set of compiled round programs: "auto" = 2^19 lanes
+    # (the nv=20 family) on real TPU, off elsewhere; an integer = that
+    # power-of-two lane count; "off" disables.
+    generic_pad: str = os.environ.get("SUMCHECK_TPU_GENERIC_PAD", "auto")
+
+    def generic_pad_lanes(self) -> int:
+        if self.generic_pad == "off":
+            return 0
+        if self.generic_pad == "auto":
+            import jax
+
+            return (1 << 19) if jax.default_backend() == "tpu" else 0
+        return 1 << int(self.generic_pad)
 
     def use_device(self, table_len: int) -> bool:
         if self.engine == "device":

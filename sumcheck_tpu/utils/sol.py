@@ -1,0 +1,130 @@
+"""Speed-of-light model for the prover round kernels (BASELINE.json north
+star: "every round kernel measured against speed-of-light limb-multiply
+throughput per chip").
+
+Two rooflines bound a prove:
+
+- ALU: every Montgomery multiply is a fixed budget of uint32 vector ops
+  (CIOS, 16x16-bit digits — `fields/limbs_jnp._cios_body`): 16 outer
+  iterations x (16 multiply-accumulate + 16 reduce steps) ~= 512 u32
+  multiplies + ~2200 adds/shifts/masks per lane. The chip's u32 throughput
+  is *measured* (not quoted from specs) by `measure_roofline`.
+- HBM: the fused round step streams the active table extent once in and the
+  folded halves once out; bandwidth is likewise measured with a copy kernel.
+
+SOL seconds = max(alu_ops / alu_rate, bytes / hbm_bw); %SOL = SOL / achieved.
+Op counts are analytic from the algorithm (`prover.rs:110-132` semantics):
+round i has A2 = 2^(nv-1-i) active pairs; fold costs U*2*A2 mont_muls
+(U = table slots), evaluation costs P*(L-1)*(d+1)*A2 (P products padded to
+L multiplicands, coefficients pre-folded — `device_prover._fold_plan`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# u32 vector-op budget of one lane of mont_mul (CIOS digit schedule)
+MULS_PER_MONT = 512
+OPS_PER_MONT = 2720  # total u32 ALU ops incl. the multiplies
+LANE_BYTES = 64  # one field element: 16 digits x uint32
+
+
+def count_prove_ops(nv: int, num_slots: int, num_products: int,
+                    max_len: int, degree: int) -> dict:
+    """Analytic mont_mul / byte totals for one chained prove."""
+    mont = 0
+    bytes_moved = 0
+    H = 1 << (nv - 1)
+    for i in range(nv):
+        a2 = H >> i
+        if i > 0:
+            mont += num_slots * 2 * a2          # fold both half-stripes
+            bytes_moved += 6 * a2 * num_slots * LANE_BYTES  # r 4 stripes, w 2
+        else:
+            bytes_moved += 2 * a2 * num_slots * LANE_BYTES  # sums read only
+        mont += num_products * (max_len - 1) * (degree + 1) * a2
+    return {
+        "mont_muls": mont,
+        "u32_muls": mont * MULS_PER_MONT,
+        "u32_ops": mont * OPS_PER_MONT,
+        "hbm_bytes": bytes_moved,
+    }
+
+
+_CACHE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", ".sol_roofline.json")
+
+
+def measure_roofline(force: bool = False) -> dict:
+    """Measure the current backend's u32 multiply-add throughput and HBM copy
+    bandwidth; cached per backend in `.sol_roofline.json`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    cache = {}
+    if os.path.exists(_CACHE_PATH):
+        try:
+            cache = json.load(open(_CACHE_PATH))
+        except (OSError, json.JSONDecodeError):
+            cache = {}
+    if not force and backend in cache:
+        return cache[backend]
+
+    n = 1 << 22  # 16 MiB of u32 lanes
+    iters = 64
+
+    @jax.jit
+    def alu_kernel(a, b):
+        # chain of dependent multiply-adds: iters * 2 ops per lane
+        def body(_, x):
+            return x * b + jnp.uint32(1)
+
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    a = jnp.arange(n, dtype=jnp.uint32)
+    b = jnp.full((n,), 3, jnp.uint32)
+    np.asarray(alu_kernel(a, b))  # compile + warm
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        out = alu_kernel(a, b)
+    out.block_until_ready()
+    np.asarray(out[:1])  # tunneled-TPU-safe sync
+    dt = (time.perf_counter() - t0) / reps
+    alu_ops_per_s = 2.0 * iters * n / dt  # mul+add per lane-iter
+
+    @jax.jit
+    def copy_kernel(x):
+        return x + jnp.uint32(1)
+
+    big = jnp.zeros((1 << 27,), jnp.uint32)  # 512 MiB
+    np.asarray(copy_kernel(big)[:1])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        big2 = copy_kernel(big)
+    big2.block_until_ready()
+    np.asarray(big2[:1])
+    dt = (time.perf_counter() - t0) / 4
+    hbm_bytes_per_s = 2.0 * big.size * 4 / dt  # read + write
+
+    result = {"u32_ops_per_s": alu_ops_per_s, "hbm_bytes_per_s": hbm_bytes_per_s}
+    cache[backend] = result
+    try:
+        json.dump(cache, open(_CACHE_PATH, "w"), indent=1)
+    except OSError:
+        pass
+    return result
+
+
+def sol_seconds(counts: dict, roofline: dict) -> dict:
+    alu_s = counts["u32_ops"] / roofline["u32_ops_per_s"]
+    hbm_s = counts["hbm_bytes"] / roofline["hbm_bytes_per_s"]
+    return {
+        "alu_bound_s": alu_s,
+        "hbm_bound_s": hbm_s,
+        "sol_s": max(alu_s, hbm_s),
+        "bound": "alu" if alu_s >= hbm_s else "hbm",
+    }

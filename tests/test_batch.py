@@ -35,6 +35,7 @@ def test_batched_rejects_mixed_shapes(rnd):
         BatchedMLSumcheck.prove([p1, p2])
 
 
+@pytest.mark.slow
 def test_batched_chained_matches_individual(rnd):
     """The zero-sync chained batch path (vmapped device transcripts) must be
     byte-identical to per-instance proving."""

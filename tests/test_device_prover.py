@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from sumcheck_tpu import Fr, ListOfProductsOfPolynomials, MLSumcheck
+from sumcheck_tpu import Fr, MLSumcheck
 from sumcheck_tpu.fields.fr import NUM_DIGITS, P, R_INV
 from sumcheck_tpu.ml_sumcheck import serialize_proof
 from sumcheck_tpu.transcript import device as D
@@ -74,6 +74,7 @@ def test_device_transcript_matches_host():
     assert lowered == host.state_tuple()
 
 
+@pytest.mark.slow
 def test_chained_proof_bit_exact(rnd):
     """Chained device prove == host-loop prove, byte for byte, and the
     caller's transcript ends in the identical state (composition safety)."""
@@ -99,6 +100,7 @@ def test_chained_proof_bit_exact(rnd):
     assert poly.evaluate(sub.point) == sub.expected_evaluation
 
 
+@pytest.mark.slow
 def test_chained_full_roundtrip(chained_cfg, rnd):
     """prove/verify round-trip entirely through the chained path."""
     poly, asserted = random_list_of_products(5, (2, 3), 2, rnd)

@@ -1,7 +1,6 @@
 """Device GKR phase-init kernels vs the host path (bit-identical results,
 including deliberately colliding scatter indices)."""
 
-import numpy as np
 import pytest
 
 from sumcheck_tpu import Blake2b512Rng, DenseMLE, Fr, GKRRoundSumcheck, SparseMLE
@@ -27,6 +26,7 @@ def test_phase_inits_match_host(rnd):
     assert (f2_dev == f2_host.evals).all(), "phase-2 f1_gu differs"
 
 
+@pytest.mark.slow
 def test_gkr_prove_device_init_matches(rnd):
     """Full GKR prove with the device init path forced must produce the same
     proof as the host path."""

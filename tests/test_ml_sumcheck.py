@@ -3,7 +3,6 @@
 round-trips with self-computed ground truth, interactive mode, subprotocol
 transcripts (incl. negative), edge-case errors, sum extraction, dedup."""
 
-import random
 
 import pytest
 
@@ -161,6 +160,7 @@ def test_prover_misuse_errors(rnd):
         IPForMLSumcheck.prove_round(state, VerifierMsg(Fr(rnd.randrange(P))))
 
 
+@pytest.mark.slow
 def test_device_engine_matches_host(rnd):
     """The jitted device round path must emit bit-identical proofs to the
     vectorized host path (determinism across engines substitutes for the

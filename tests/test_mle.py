@@ -1,9 +1,7 @@
 """Multilinear extension tests: fix_variables/evaluate semantics vs naive
 multilinear extension formula, sparse/dense agreement, interpolation."""
 
-import random
 
-import pytest
 
 from sumcheck_tpu import DenseMLE, Fr, SparseMLE
 from sumcheck_tpu.fields.fr import P

@@ -16,6 +16,7 @@ def _mk(rnd, u1, n):
     return L.from_ints(vals).reshape(NUM_DIGITS, u1, n)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("do_fold", [False, True])
 def test_pallas_round_matches_engine(rnd, do_fold):
     import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_pallas_round_matches_engine(rnd, do_fold):
         assert (got == ref_tables.transpose(1, 0, 2)).all(), "folded tables differ"
 
 
+@pytest.mark.slow
 def test_pallas_full_prove_matches_host(rnd):
     """Force the Pallas engine (interpret mode) through a full prove."""
     from sumcheck_tpu import DenseMLE, Fr, ListOfProductsOfPolynomials, MLSumcheck
