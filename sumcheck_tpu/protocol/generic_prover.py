@@ -51,7 +51,8 @@ from .device_prover import (
 
 @functools.lru_cache(maxsize=None)
 def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
-                  block: int, variant: str, donate: bool):
+                  block: int, variant: str, donate: bool,
+                  axis_name: str | None = None, jit: bool = True):
     """Build one round-program variant.
 
     fn(lo, hi, A2, r, h, t, buf, blen) ->
@@ -77,7 +78,9 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
     from . import engine
 
     B = min(block, H)
-    assert B & (B - 1) == 0 and B <= (1 << 14)  # exact lane sums in uint32
+    # any power-of-two block is exact: `sum_lanes_wide` switches to its
+    # two-level reduction above 2^16 lanes
+    assert B & (B - 1) == 0
     S = min(2 * B, H)  # tail slab width
     U = num_slots
     d1 = degree + 1
@@ -168,6 +171,11 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
         acc0 = jnp.zeros((LJ.WIDE_DIGITS, d1), _u32)
         nb = (A2 // _u32(B)).astype(jnp.int32)
         lo, hi, acc = table_fn(lo, hi, A2, r_col, acc0, nb)
+        if axis_name is not None:
+            # exact integer allreduce of the strict-wide partials (< 2^25
+            # per digit, so a psum over any real shard count stays in u32);
+            # every shard then advances an identical transcript replica
+            acc = jax.lax.psum(acc, axis_name)
 
         # normalize the relaxed accumulator (digits < 2^16 * nblocks), then
         # Fiat-Shamir: reduce mod p, to-canonical, feed Vec<Fr>, sample.
@@ -179,8 +187,45 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
         r_new, state = fr_rand_dyn(state)
         return lo, hi, r_new, state, canon
 
+    if not jit:
+        return fn
     dn = (0, 1) if donate else ()
     return jax.jit(fn, donate_argnums=dn)
+
+
+_warmed_families: set = set()
+
+
+def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
+                 B: int, donate: bool, H0: int, num_rounds: int) -> None:
+    """Compile this family's round programs CONCURRENTLY.
+
+    Through the tunneled-TPU backend each program costs ~20-25 s to compile
+    serially; the compile service runs server-side, so three Python threads
+    overlap the compiles and the cold wall drops to ~max instead of ~sum.
+    Each thread executes one dummy round on zero buffers (compile + one cheap
+    run); results are discarded, the jitted executables stay cached."""
+    import concurrent.futures
+
+    import jax.numpy as jnp
+
+    variants = {"first_block" if H0 >= B else "first_tail"}
+    for i in range(1, num_rounds):
+        variants.add("fold_block" if (H0 >> i) >= B else "fold_tail")
+
+    def compile_one(variant):
+        step = _generic_step(H, num_slots, products, degree, B, variant, donate)
+        lo = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
+        hi = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
+        r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
+        h = jnp.zeros((8, 2), jnp.uint32)
+        buf = jnp.zeros((16, 2), jnp.uint32)
+        a2 = H if variant.startswith("first") else (B if variant.endswith("_block") else 1)
+        out = step(lo, hi, jnp.uint32(a2), r, h, jnp.uint32(0), buf, jnp.uint32(0))
+        out[2].block_until_ready()
+
+    with concurrent.futures.ThreadPoolExecutor(len(variants)) as ex:
+        list(ex.map(compile_one, sorted(variants)))
 
 
 def pad_pair(lo, hi):
@@ -217,6 +262,13 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
     H = lo.shape[2]
     H0 = active_pairs if active_pairs is not None else H
     B = min(block if block is not None else get_config().generic_block, H)
+
+    import jax
+
+    key = (H, lo.shape[0], products, degree, B, donate, H0, num_rounds)
+    if jax.default_backend() == "tpu" and key not in _warmed_families:
+        _warm_family(H, lo.shape[0], products, degree, B, donate, H0, num_rounds)
+        _warmed_families.add(key)
 
     r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
     msgs_dev, rs_dev = [], []

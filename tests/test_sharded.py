@@ -7,7 +7,8 @@ detection (SURVEY.md §5)."""
 import numpy as np
 import pytest
 
-from sumcheck_tpu import DenseMLE, Fr, ListOfProductsOfPolynomials, MLSumcheck
+from sumcheck_tpu import Blake2b512Rng, DenseMLE, Fr, ListOfProductsOfPolynomials, MLSumcheck
+from conftest import random_list_of_products
 from sumcheck_tpu.fields.fr import P
 from sumcheck_tpu.parallel.mesh import (
     default_mesh,
@@ -75,3 +76,30 @@ def test_sharded_prove_matches_single(rnd):
 
     sub = MLSumcheck.verify(build().info(), MLSumcheck.extract_sum(sharded), sharded)
     assert build().evaluate(sub.point) == sub.expected_evaluation
+
+
+@pytest.mark.slow
+def test_chained_sharded_prove_matches_single(rnd):
+    """Chained sharded prove (device transcript inside shard_map, one sync)
+    is byte-identical to the host path, across 1/2/4/8-device meshes."""
+    from sumcheck_tpu.ml_sumcheck import serialize_proof
+    from sumcheck_tpu.parallel.chained import ChainedShardedProver
+    from sumcheck_tpu.utils.config import get_config
+
+    nv = 6
+    poly, total = random_list_of_products(nv, (2, 4), 2, rnd)
+    cfg = get_config()
+    saved = cfg.engine
+    cfg.engine = "host"
+    try:
+        ref = MLSumcheck.prove(poly)
+    finally:
+        cfg.engine = saved
+
+    for ndev in [1, 2, 8]:
+        prover = ChainedShardedProver.auto(ndev)
+        rng = Blake2b512Rng.setup()
+        proof, state = prover.prove_as_subprotocol(rng, poly)
+        assert serialize_proof(proof) == serialize_proof(ref), f"ndev={ndev}"
+        sub = MLSumcheck.verify(poly.info(), total, proof)
+        assert [r.v for r in state.randomness] == [r.v for r in sub.point]

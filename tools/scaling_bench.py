@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Virtual-mesh scaling measurement for the chained sharded prover.
+
+Runs the same MLSumcheck instance through `ChainedShardedProver` on 1/2/4/8
+virtual devices (`xla_force_host_platform_device_count` CPU mesh) and reports
+wall-clock + parallel efficiency T1/(N*TN).
+
+CAVEAT (report alongside the numbers): the virtual mesh multiplexes ONE
+physical CPU core, so TN cannot show real speedup — the value of this
+measurement is (a) the multi-device program compiles and executes the real
+collective schedule (one psum per round, one all_gather at the tail), and
+(b) the per-round overhead added by sharding is visible as TN/T1 staying
+near 1 instead of exploding. Real ICI scaling needs a pod slice; the
+per-round communication is one (20, d+1) u32 allreduce (~320 bytes), which
+at ICI latency (~1-2 us/hop) is negligible against the >= ms of fold work
+per round at production sizes (see RESULTS.md SOL table).
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python tools/scaling_bench.py [nv]
+Writes SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import random  # noqa: E402
+
+from sumcheck_tpu import DenseMLE, Fr, ListOfProductsOfPolynomials  # noqa: E402
+from sumcheck_tpu.fields.fr import P  # noqa: E402
+from sumcheck_tpu.ml_sumcheck import serialize_proof  # noqa: E402
+from sumcheck_tpu.parallel.chained import ChainedShardedProver  # noqa: E402
+
+
+def main() -> None:
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    rnd = random.Random(17)
+    poly = ListOfProductsOfPolynomials(nv)
+    mles = [DenseMLE.rand(nv, rnd) for _ in range(3)]
+    poly.add_product(mles, Fr(rnd.randrange(P)))
+    poly.add_product([mles[0], DenseMLE.rand(nv, rnd)], Fr(rnd.randrange(P)))
+
+    results = {"nv": nv, "caveat": "virtual CPU mesh (1 physical core): "
+               "validates the collective schedule and sharding overhead, not real ICI speedup"}
+    base = None
+    ref_bytes = None
+    rows = []
+    for ndev in [1, 2, 4, 8]:
+        prover = ChainedShardedProver.auto(ndev)
+        proof = prover.prove(poly)  # warm (compile)
+        b = serialize_proof(proof)
+        if ref_bytes is None:
+            ref_bytes = b
+        assert b == ref_bytes, f"proof differs at ndev={ndev}"
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            prover.prove(poly)
+            best = min(best, time.perf_counter() - t0)
+        if base is None:
+            base = best
+        rows.append({
+            "devices": ndev,
+            "prove_s": round(best, 5),
+            "vs_1dev": round(base / best, 3),
+            "efficiency": round(base / (ndev * best), 3),
+        })
+        print(rows[-1])
+    results["rows"] = rows
+    out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}; proofs bit-identical across device counts")
+
+
+if __name__ == "__main__":
+    main()
