@@ -116,21 +116,22 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
         H0 = lo1.shape[2]
         lo1, hi1 = pad_pair(lo1, hi1)
         state = (ts.h, ts.t, ts.buf, jnp.uint32(ts.blen))
-        msgs1, rs1, state, pair1 = chain_rounds_generic(
+        parts1, state, pair1, r_last = chain_rounds_generic(
             lo1, hi1, state, products, 2, dim, active_pairs=H0
         )
+        rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
         f2_u = GI._compiled_final_fold(1)(
-            pair1[0][:, :, :1], pair1[1][:, :, :1], rs1[-1]
+            pair1[0][:, :, :1], pair1[1][:, :, :1], r_last
         )
         f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
-            x, y, w, jnp.stack(rs1)
+            x, y, w, rs1_dev
         )
         lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
         lo2, hi2 = pad_pair(lo2, hi2)
-        msgs2, rs2, state, _ = chain_rounds_generic(
+        parts2, state, _pair2, _r = chain_rounds_generic(
             lo2, hi2, state, products, 2, dim, active_pairs=H0
         )
-        msgs_h, _rs_h, carry_h, blen = _fetch(msgs1 + msgs2, rs1 + rs2, state, 2)
+        msgs_h, _rs_h, carry_h, blen = _fetch(parts1 + parts2, state, 2)
         restore_transcript(rng, carry_h, blen)
         return GKRProof(
             msgs_from_host(msgs_h[:dim], 2), msgs_from_host(msgs_h[dim:], 2)

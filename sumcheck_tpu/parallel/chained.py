@@ -46,7 +46,7 @@ from ..protocol.device_prover import (
     msgs_from_host,
     restore_transcript,
 )
-from ..protocol.generic_prover import _fetch, _generic_step
+from ..protocol.generic_prover import _chain_step, _fetch, _generic_step
 from ..protocol.prover import ProverState, to_bitrev
 from ..utils.errors import SumcheckError
 from .mesh import default_mesh
@@ -76,6 +76,32 @@ def _sharded_step(mesh, H_loc: int, num_slots: int, products: tuple,
         mesh=mesh,
         in_specs=(spec_t, spec_t, rep, rep, rep, rep, rep, rep),
         out_specs=(spec_t, spec_t, rep, (rep, rep, rep, rep), rep),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_chain(mesh, H_loc: int, num_slots: int, products: tuple,
+                   degree: int, block: int, kind: str):
+    """shard_map-wrapped multi-round chain (see `_chain_step`): ONE dispatch
+    runs a dynamic number of sharded rounds, each psum-ing its partials and
+    advancing the replicated transcript."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    raw = _chain_step.__wrapped__(
+        H_loc, num_slots, products, degree, block, kind, False,
+        axis_name="x", jit=False,
+    )
+    spec_t = Pspec(None, None, "x")
+    rep = Pspec()
+    fn = shard_map(
+        raw,
+        mesh=mesh,
+        in_specs=(spec_t, spec_t, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(spec_t, spec_t, rep, (rep, rep, rep, rep), rep, rep),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0, 1))
@@ -192,41 +218,65 @@ class ChainedShardedProver:
         H_loc = H // S
         B = min(self.block or get_config().generic_block, H_loc)
         r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
-        msgs_dev, rs_dev = [], []
+        parts = []
 
         num_sharded = nv - sigma  # rounds with >= 1 active pair per shard
-        for i in range(num_sharded):
-            a2_loc = H_loc >> i
-            variant = ("first" if i == 0 else "fold") + (
-                "_block" if a2_loc >= B else "_tail"
+        variant = "first_block" if H_loc >= B else "first_tail"
+        step = _sharded_step(
+            self.mesh, H_loc, num_slots, products, degree, B, variant
+        )
+        lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H_loc), r, *state)
+        parts.append((canon[None], r[None], 1))
+
+        nb = sum(1 for i in range(1, num_sharded) if (H_loc >> i) >= B)
+        if nb:
+            cstep = _sharded_chain(
+                self.mesh, H_loc, num_slots, products, degree, B,
+                "fold_block_chain",
             )
-            step = _sharded_step(
-                self.mesh, H_loc, num_slots, products, degree, B, variant
+            lo, hi, r, state, msgs, rs = cstep(
+                lo, hi, jnp.uint32(H_loc >> 1), jnp.int32(nb), r, *state
             )
-            lo, hi, r, state, canon = step(
-                lo, hi, jnp.uint32(a2_loc), r, *state
+            parts.append((msgs, rs, nb))
+        nt = num_sharded - 1 - nb
+        if nt:
+            cstep = _sharded_chain(
+                self.mesh, H_loc, num_slots, products, degree, B,
+                "fold_tail_chain",
             )
-            msgs_dev.append(canon)
-            rs_dev.append(r)
+            lo, hi, r, state, msgs, rs = cstep(
+                lo, hi, jnp.uint32(H_loc >> (1 + nb)), jnp.int32(nt), r, *state
+            )
+            parts.append((msgs, rs, nt))
 
         if sigma:
             # replicated tail: gather the one-pair-per-shard remnant and run
-            # the remaining rounds identically on every device
+            # the remaining rounds identically on every device, in one chain
             lo, hi = _gather_remnant(self.mesh, num_slots)(lo, hi)
             Bt = min(self.block or get_config().generic_block, S)
-            for j in range(sigma):
-                a2 = S >> (j + 1)
-                variant = "fold_block" if a2 >= Bt else "fold_tail"
-                step = _generic_step(
-                    S, num_slots, products, degree, Bt, variant, False
+            nbr = sum(1 for j in range(sigma) if (S >> (j + 1)) >= Bt)
+            if nbr:
+                cstep = _chain_step(
+                    S, num_slots, products, degree, Bt, "fold_block_chain",
+                    False,
                 )
-                lo, hi, r, state, canon = step(
-                    lo, hi, jnp.uint32(a2), r, *state
+                lo, hi, r, state, msgs, rs = cstep(
+                    lo, hi, jnp.uint32(S >> 1), jnp.int32(nbr), r, *state
                 )
-                msgs_dev.append(canon)
-                rs_dev.append(r)
+                parts.append((msgs, rs, nbr))
+            ntr = sigma - nbr
+            if ntr:
+                cstep = _chain_step(
+                    S, num_slots, products, degree, Bt, "fold_tail_chain",
+                    False,
+                )
+                lo, hi, r, state, msgs, rs = cstep(
+                    lo, hi, jnp.uint32(S >> (1 + nbr)), jnp.int32(ntr), r,
+                    *state
+                )
+                parts.append((msgs, rs, ntr))
 
-        msgs_h, rs_h, carry_h, blen = _fetch(msgs_dev, rs_dev, state, degree)
+        msgs_h, rs_h, carry_h, blen = _fetch(parts, state, degree)
         prover_msgs = msgs_from_host(msgs_h, degree)
         randomness = [Fr(col_int(rd) * R_INV % P) for rd in rs_h]
         restore_transcript(fs_rng, carry_h, blen)

@@ -193,6 +193,65 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
     return jax.jit(fn, donate_argnums=dn)
 
 
+_R_CAP = 32  # static message-buffer depth of a chain program (rounds <= 30)
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
+                block: int, kind: str, donate: bool,
+                axis_name: str | None = None, jit: bool = True):
+    """Multi-round chain program: run a DYNAMIC number of consecutive fold
+    rounds (all-block or all-tail) inside one compiled program.
+
+    Per-round dispatch costs ~2 ms on a tunneled TPU; nv=20 needs 20 rounds
+    and GKR nv=18 needs 36 — at one dispatch per round that overhead alone
+    exceeds a 15x-baseline GKR budget. A chain collapses all block rounds
+    into ONE dispatch (outer `fori_loop` over rounds, inner over blocks) and
+    all tail rounds into another; a full prove is 3 dispatches + 1 fetch.
+
+    fn(lo, hi, A2_start, n_rounds, r, h, t, buf, blen) ->
+        (lo', hi', r', state', msgs (R_CAP,16,d+1), rs (R_CAP,16))
+    Round j in [0, n_rounds) has active pairs A2_start >> j; its canonical
+    message lands in msgs[j], its sampled challenge in rs[j].
+    `kind`: "fold_block_chain" | "fold_tail_chain".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    inner = _generic_step.__wrapped__(
+        H, num_slots, products, degree, block,
+        "fold_block" if kind == "fold_block_chain" else "fold_tail",
+        False, axis_name=axis_name, jit=False,
+    )
+    d1 = degree + 1
+    _u32 = jnp.uint32
+
+    def fn(lo, hi, A2_start, n_rounds, r, h, t, buf, blen):
+        msgs = jnp.zeros((_R_CAP, NUM_DIGITS, d1), _u32)
+        rs = jnp.zeros((_R_CAP, NUM_DIGITS), _u32)
+
+        def round_body(j, carry):
+            lo, hi, r, h, t, buf, blen, msgs, rs = carry
+            a2 = jnp.right_shift(A2_start, j.astype(_u32))
+            lo, hi, r, (h, t, buf, blen), canon = inner(
+                lo, hi, a2, r, h, t, buf, blen
+            )
+            msgs = jax.lax.dynamic_update_slice(msgs, canon[None], (j, 0, 0))
+            rs = jax.lax.dynamic_update_slice(rs, r[None], (j, 0))
+            return lo, hi, r, h, t, buf, blen, msgs, rs
+
+        lo, hi, r, h, t, buf, blen, msgs, rs = jax.lax.fori_loop(
+            0, n_rounds, round_body,
+            (lo, hi, r, h, t, buf, blen, msgs, rs),
+        )
+        return lo, hi, r, (h, t, buf, blen), msgs, rs
+
+    if not jit:
+        return fn
+    dn = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=dn)
+
+
 _warmed_families: set = set()
 
 
@@ -209,23 +268,31 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
 
     import jax.numpy as jnp
 
-    variants = {"first_block" if H0 >= B else "first_tail"}
+    programs = {"first_block" if H0 >= B else "first_tail"}
     for i in range(1, num_rounds):
-        variants.add("fold_block" if (H0 >> i) >= B else "fold_tail")
+        programs.add(
+            "fold_block_chain" if (H0 >> i) >= B else "fold_tail_chain"
+        )
 
-    def compile_one(variant):
-        step = _generic_step(H, num_slots, products, degree, B, variant, donate)
+    def compile_one(name):
         lo = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
         hi = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
         r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
         h = jnp.zeros((8, 2), jnp.uint32)
         buf = jnp.zeros((16, 2), jnp.uint32)
-        a2 = H if variant.startswith("first") else (B if variant.endswith("_block") else 1)
-        out = step(lo, hi, jnp.uint32(a2), r, h, jnp.uint32(0), buf, jnp.uint32(0))
+        if name.endswith("_chain"):
+            cstep = _chain_step(H, num_slots, products, degree, B, name, donate)
+            a2 = B if name == "fold_block_chain" else 1
+            out = cstep(lo, hi, jnp.uint32(a2), jnp.int32(1), r, h,
+                        jnp.uint32(0), buf, jnp.uint32(0))
+        else:
+            step = _generic_step(H, num_slots, products, degree, B, name, donate)
+            out = step(lo, hi, jnp.uint32(H0), r, h, jnp.uint32(0), buf,
+                       jnp.uint32(0))
         out[2].block_until_ready()
 
-    with concurrent.futures.ThreadPoolExecutor(len(variants)) as ex:
-        list(ex.map(compile_one, sorted(variants)))
+    with concurrent.futures.ThreadPoolExecutor(len(programs)) as ex:
+        list(ex.map(compile_one, sorted(programs)))
 
 
 def pad_pair(lo, hi):
@@ -248,38 +315,56 @@ def pad_pair(lo, hi):
 def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
                          num_rounds: int, block: int | None = None,
                          donate: bool = True, active_pairs: int | None = None):
-    """Enqueue `num_rounds` rounds through the shape-generic step (one
-    compiled program per variant, reused for every round — and across
-    *callers* with the same (H, slots, products, degree), e.g. both GKR
-    phases and every padded instance size). `state` is the dynamic transcript
-    tuple (h, t, buf, blen); `active_pairs` is the true round-0 pair count
-    (defaults to the buffer width — pass it when the buffers are padded).
-    Returns (msgs_dev, rs_dev, state, (lo, hi))."""
+    """Enqueue `num_rounds` rounds through the shape-generic programs: one
+    `first_*` dispatch for round 0, ONE `fold_block_chain` dispatch for every
+    block round, ONE `fold_tail_chain` dispatch for the tail — 3 dispatches
+    per prove (programs reused across callers with the same (H, slots,
+    products, degree), e.g. both GKR phases and every padded instance size).
+
+    `state` is the dynamic transcript tuple (h, t, buf, blen);
+    `active_pairs` is the true round-0 pair count (defaults to the buffer
+    width — pass it when the buffers are padded). Returns
+    (parts, state, (lo, hi), r_final) where `parts` is a list of
+    (msgs (k,16,d+1) device, rs (k,16) device, n_valid) in round order."""
+    import jax
     import jax.numpy as jnp
 
     from ..utils.config import get_config
 
     H = lo.shape[2]
+    U = lo.shape[0]
     H0 = active_pairs if active_pairs is not None else H
     B = min(block if block is not None else get_config().generic_block, H)
+    assert num_rounds <= _R_CAP
 
-    import jax
-
-    key = (H, lo.shape[0], products, degree, B, donate, H0, num_rounds)
+    key = (H, U, products, degree, B, donate, H0, num_rounds)
     if jax.default_backend() == "tpu" and key not in _warmed_families:
-        _warm_family(H, lo.shape[0], products, degree, B, donate, H0, num_rounds)
+        _warm_family(H, U, products, degree, B, donate, H0, num_rounds)
         _warmed_families.add(key)
 
     r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
-    msgs_dev, rs_dev = [], []
-    for i in range(num_rounds):
-        a2 = H0 >> i
-        variant = ("first" if i == 0 else "fold") + ("_block" if a2 >= B else "_tail")
-        step = _generic_step(H, lo.shape[0], products, degree, B, variant, donate)
-        lo, hi, r, state, canon = step(lo, hi, jnp.uint32(a2), r, *state)
-        msgs_dev.append(canon)
-        rs_dev.append(r)
-    return msgs_dev, rs_dev, state, (lo, hi)
+    parts = []
+
+    variant = "first_block" if H0 >= B else "first_tail"
+    step = _generic_step(H, U, products, degree, B, variant, donate)
+    lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
+    parts.append((canon[None], r[None], 1))
+
+    nb = sum(1 for i in range(1, num_rounds) if (H0 >> i) >= B)
+    if nb:
+        cstep = _chain_step(H, U, products, degree, B, "fold_block_chain", donate)
+        lo, hi, r, state, msgs, rs = cstep(
+            lo, hi, jnp.uint32(H0 >> 1), jnp.int32(nb), r, *state
+        )
+        parts.append((msgs, rs, nb))
+    nt = num_rounds - 1 - nb
+    if nt:
+        cstep = _chain_step(H, U, products, degree, B, "fold_tail_chain", donate)
+        lo, hi, r, state, msgs, rs = cstep(
+            lo, hi, jnp.uint32(H0 >> (1 + nb)), jnp.int32(nt), r, *state
+        )
+        parts.append((msgs, rs, nt))
+    return parts, state, (lo, hi), r
 
 
 @functools.lru_cache(maxsize=None)
@@ -289,34 +374,53 @@ def _copier():
     return jax.jit(lambda a: a + 0)
 
 
-@functools.lru_cache(maxsize=None)
-def _generic_packer(num_msgs: int, degree: int):
-    """All chain outputs -> ONE flat uint32 array (single device fetch)."""
+_parts_packer = None
+
+
+def _pack_parts(parts, state):
+    """All chain outputs -> ONE flat uint32 array (single device fetch).
+    jit caches per pytree structure/shapes, so each parts layout compiles a
+    tiny concat program once."""
+    global _parts_packer
     import jax
     import jax.numpy as jnp
 
-    def pack(msgs, rs, state):
-        h, t, buf, blen = state
-        parts = [jnp.stack(msgs).reshape(-1), jnp.stack(rs).reshape(-1),
-                 h.reshape(-1), t.reshape(1), buf.reshape(-1), blen.reshape(1)]
-        return jnp.concatenate(parts)
+    if _parts_packer is None:
+        def pack(arrs, st):
+            h, t, buf, blen = st
+            flats = [a.reshape(-1) for a in arrs]
+            flats += [h.reshape(-1), t.reshape(1), buf.reshape(-1),
+                      blen.reshape(1)]
+            return jnp.concatenate(flats)
 
-    return jax.jit(pack)
+        _parts_packer = jax.jit(pack)
+    arrs = []
+    for msgs, rs, _n in parts:
+        arrs.append(msgs)
+        arrs.append(rs)
+    return _parts_packer(tuple(arrs), state)
 
 
-def _fetch(msgs_dev, rs_dev, state, degree: int):
-    k = len(msgs_dev)
-    flat = np.asarray(_generic_packer(k, degree)(msgs_dev, rs_dev, state))
+def _fetch(parts, state, degree: int):
+    """One host transfer; trims each part's buffer to its valid rows.
+    Returns (msgs (k,16,d+1), rs (k,16), (h,t,buf), blen)."""
+    flat = np.asarray(_pack_parts(parts, state))
     d1 = degree + 1
-    o1 = k * NUM_DIGITS * d1
-    o2 = o1 + k * NUM_DIGITS
-    msgs = flat[:o1].reshape(k, NUM_DIGITS, d1)
-    rs = flat[o1:o2].reshape(k, NUM_DIGITS)
-    h = flat[o2 : o2 + 16].reshape(8, 2)
-    t = flat[o2 + 16]
-    buf = flat[o2 + 17 : o2 + 49].reshape(16, 2)
-    blen = int(flat[o2 + 49])
-    return msgs, rs, (h, t, buf), blen
+    msgs_list, rs_list = [], []
+    off = 0
+    for msgs, rs, n in parts:
+        rows = msgs.shape[0]
+        sz = rows * NUM_DIGITS * d1
+        msgs_list.append(flat[off : off + sz].reshape(rows, NUM_DIGITS, d1)[:n])
+        off += sz
+        sz = rows * NUM_DIGITS
+        rs_list.append(flat[off : off + sz].reshape(rows, NUM_DIGITS)[:n])
+        off += sz
+    h = flat[off : off + 16].reshape(8, 2)
+    t = flat[off + 16]
+    buf = flat[off + 17 : off + 49].reshape(16, 2)
+    blen = int(flat[off + 49])
+    return np.concatenate(msgs_list), np.concatenate(rs_list), (h, t, buf), blen
 
 
 def prove_generic(fs_rng, polynomial, block: int | None = None):
@@ -340,11 +444,11 @@ def prove_generic(fs_rng, polynomial, block: int | None = None):
 
     H0 = lo.shape[2]
     lo, hi = pad_pair(lo, hi)
-    msgs_dev, rs_dev, state, (lo, hi) = chain_rounds_generic(
+    parts, state, (lo, hi), _r = chain_rounds_generic(
         lo, hi, state, products, degree, nv, block=block, active_pairs=H0
     )
 
-    msgs_h, rs_h, carry_h, blen = _fetch(msgs_dev, rs_dev, state, degree)
+    msgs_h, rs_h, carry_h, blen = _fetch(parts, state, degree)
 
     prover_msgs = msgs_from_host(msgs_h, degree)
     randomness = [Fr(col_int(rd) * R_INV % P) for rd in rs_h]

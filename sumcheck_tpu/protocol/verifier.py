@@ -17,7 +17,7 @@ field-arithmetic path (plus the same early return at integer points).
 from __future__ import annotations
 
 from ..data_structures import PolynomialInfo
-from ..fields.fr import Fr
+from ..fields.fr import Fr, P
 from ..transcript.serialize import serialize_fr
 from ..utils.errors import Reject, SumcheckError
 from .prover import ProverMsg
@@ -91,20 +91,63 @@ def verify_round(prover_msg: ProverMsg, verifier_state: VerifierState, rng) -> V
 
 def check_and_generate_subclaim(verifier_state: VerifierState, asserted_sum: Fr) -> SubClaim:
     """All deferred soundness checks (reference `verifier.rs:90-121`).
-    Raises `Reject` on inconsistency — the only soundness rejection site."""
+    Raises `Reject` on inconsistency — the only soundness rejection site.
+
+    The per-round interpolations share ONE batched modular inversion across
+    the whole proof (each round needs 1/(r_i - j) denominators; they depend
+    only on the challenges and arrive all at once in this lazy design) —
+    results are identical to per-round `interpolate_uni_poly`, the inversion
+    `pow` just amortizes nv-fold."""
     if not verifier_state.finished:
         raise SumcheckError("Verifier has not finished.")
     if len(verifier_state.polynomials_received) != verifier_state.nv:
         raise SumcheckError("insufficient rounds")
-    expected = asserted_sum
+    preps = []
+    all_denoms = []
     for i in range(verifier_state.nv):
         evaluations = verifier_state.polynomials_received[i]
+        prep = _interp_prepare([e.v for e in evaluations],
+                               verifier_state.randomness[i].v)
+        preps.append(prep)
+        if prep[0] == "full":
+            all_denoms.extend(prep[2])
+    invs = _batch_inverse_int(all_denoms) if all_denoms else []
+    pos = 0
+    expected = asserted_sum
+    for i, prep in enumerate(preps):
+        evaluations = verifier_state.polynomials_received[i]
+        # checks stay in the reference's per-round order (`verifier.rs:104-113`)
         if len(evaluations) != verifier_state.max_multiplicands + 1:
             raise SumcheckError("incorrect number of evaluations")
         if evaluations[0] + evaluations[1] != expected:
             raise Reject("Prover message is not consistent with the claim.")
-        expected = interpolate_uni_poly(evaluations, verifier_state.randomness[i])
+        if prep[0] == "early":
+            expected = Fr(prep[1])
+        else:
+            _tag, prod, denoms, p_vals = prep
+            n = len(p_vals)
+            consts = _lagrange_consts(n)
+            acc = 0
+            for k in range(n):
+                acc = (acc + p_vals[k] * consts[k] * invs[pos + k]) % _P
+            pos += n
+            expected = Fr(prod * acc)
     return SubClaim(list(verifier_state.randomness), expected)
+
+
+def _interp_prepare(p_vals: list[int], eval_at: int):
+    """Phase 1 of interpolation: early-return detection, the (eval_at - j)
+    factors, and their running product — everything except the inversion."""
+    n = len(p_vals)
+    if eval_at < n:  # challenge hit an integer node (reference early return)
+        return ("early", p_vals[eval_at])
+    denoms = []
+    prod = 1
+    for j in range(n):
+        d = (eval_at - j) % _P
+        denoms.append(d)
+        prod = prod * d % _P
+    return ("full", prod, denoms, p_vals)
 
 
 def sample_round(rng) -> VerifierMsg:
@@ -138,39 +181,45 @@ def interpolate_uni_poly(p_i: list[Fr], eval_at: Fr) -> Fr:
     # optimization with identical field results). C_i is cached per degree
     # and the per-term divisions are replaced by one batched inversion
     # (Montgomery's trick), so each call costs a single modular inversion.
+    # raw-int inner loop: the verifier is pure Python and this path runs
+    # nv times per verify — skipping the Fr wrapper (a __mod__ per op)
+    # roughly halves its cost
     consts = _lagrange_consts(n)
-    invs = _batch_inverse(evals)
-    res = Fr.zero()
+    invs = _batch_inverse_int([e.v for e in evals])
+    acc = 0
     for i in range(n):
-        res = res + p_i[i] * consts[i] * invs[i]
-    return prod * res
+        acc = (acc + p_i[i].v * consts[i] * invs[i]) % _P
+    return Fr(prod.v * acc)
 
 
-def _lagrange_consts(n: int, _cache: dict = {}) -> list[Fr]:
+_P = P
+
+
+def _lagrange_consts(n: int, _cache: dict = {}) -> list[int]:
     out = _cache.get(n)
     if out is None:
-        fact = [Fr.one()]
+        fact = [1]
         for i in range(1, n):
-            fact.append(fact[-1] * Fr(i))
+            fact.append(fact[-1] * i % _P)
         out = [
-            (fact[i] * fact[n - 1 - i]).inverse() * (Fr(-1) ** (n - 1 - i))
+            pow(fact[i] * fact[n - 1 - i] * (_P - 1) ** ((n - 1 - i) & 1), -1, _P)
             for i in range(n)
         ]
         _cache[n] = out
     return out
 
 
-def _batch_inverse(xs: list[Fr]) -> list[Fr]:
+def _batch_inverse_int(xs: list[int]) -> list[int]:
     """Montgomery's trick: n inversions for one `pow` plus 3(n-1) multiplies."""
     prefix = []
-    acc = Fr.one()
+    acc = 1
     for x in xs:
-        acc = acc * x
+        acc = acc * x % _P
         prefix.append(acc)
-    inv = acc.inverse()
-    out = [Fr.zero()] * len(xs)
+    inv = pow(acc, -1, _P)
+    out = [0] * len(xs)
     for i in range(len(xs) - 1, 0, -1):
-        out[i] = inv * prefix[i - 1]
-        inv = inv * xs[i]
+        out[i] = inv * prefix[i - 1] % _P
+        inv = inv * xs[i] % _P
     out[0] = inv
     return out
