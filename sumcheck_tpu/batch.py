@@ -48,6 +48,141 @@ def _compiled_batched_round(n, batch, num_products, max_len, degree, num_slots, 
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# generic-chain batched path: vmap the shape-generic round/chain programs over
+# the instance axis — 3 compiled programs for ANY nv (vs one per table size),
+# one dispatch per program, one host sync for all B proofs. The vmapped
+# rejection-sampling while_loop is exact: converged instances hold their
+# state while stragglers retry.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _bstep_generic(H: int, U: int, products: tuple, degree: int, block: int,
+                   variant: str):
+    import jax
+
+    from .protocol.generic_prover import _generic_step
+
+    raw = _generic_step.__wrapped__(
+        H, U, products, degree, block, variant, False, jit=False
+    )
+    vfn = jax.vmap(raw, in_axes=(0, 0, None, 0, 0, 0, 0, 0))
+    return jax.jit(vfn, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _bchain_generic(H: int, U: int, products: tuple, degree: int, block: int):
+    import jax
+
+    from .protocol.generic_prover import _chain_step
+
+    raw = _chain_step.__wrapped__(
+        H, U, products, degree, block, False, jit=False
+    )
+    vfn = jax.vmap(raw, in_axes=(0, 0, None, None, 0, 0, 0, 0, 0))
+    return jax.jit(vfn, donate_argnums=(0, 1))
+
+
+_bpacker = None
+
+
+def _bpack(parts, state):
+    global _bpacker
+    import jax
+    import jax.numpy as jnp
+
+    if _bpacker is None:
+        def pack(arrs, st):
+            flats = [a.reshape(-1) for a in arrs] + [x.reshape(-1) for x in st]
+            return jnp.concatenate(flats)
+
+        _bpacker = jax.jit(pack)
+    arrs = []
+    for m, rr, _n in parts:
+        arrs.append(m)
+        arrs.append(rr)
+    return _bpacker(tuple(arrs), state)
+
+
+def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int):
+    import jax.numpy as jnp
+
+    from .protocol.device_prover import (
+        col_int,
+        init_pair,
+        lift_transcript,
+        msgs_from_host,
+    )
+
+    pairs = [init_pair(p) for p in polynomials]
+    products = pairs[0][2]
+    lo = jnp.stack([p[0] for p in pairs])  # (B, U, 16, H0) — stack copies,
+    hi = jnp.stack([p[1] for p in pairs])  # so cached pairs stay intact
+    Bn = lo.shape[0]
+    H0 = lo.shape[3]
+    target = get_config().generic_pad_lanes()
+    if target and H0 < target:
+        padw = ((0, 0), (0, 0), (0, 0), (0, target - H0))
+        lo, hi = jnp.pad(lo, padw), jnp.pad(hi, padw)
+    H = lo.shape[3]
+    U = lo.shape[1]
+    Blk = min(get_config().generic_block, H)
+
+    lifted = [lift_transcript(r) for r in fs_rngs]
+    blen0 = lifted[0].blen
+    assert all(t.blen == blen0 for t in lifted)
+    state = (
+        jnp.stack([t.h for t in lifted]),
+        jnp.stack([t.t for t in lifted]),
+        jnp.stack([t.buf for t in lifted]),
+        jnp.full((Bn,), blen0, jnp.uint32),
+    )
+    r = jnp.zeros((Bn, NUM_DIGITS), jnp.uint32)
+    parts = []
+
+    step = _bstep_generic(H, U, products, degree, Blk, "first_block")
+    lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
+    parts.append((canon[:, None], r[:, None], 1))
+
+    if nv > 1:
+        cstep = _bchain_generic(H, U, products, degree, Blk)
+        lo, hi, r, state, msgs, rs = cstep(
+            lo, hi, jnp.uint32(H0 >> 1), jnp.int32(nv - 1), r, *state
+        )
+        parts.append((msgs, rs, nv - 1))
+
+    flat = np.asarray(_bpack(parts, state))  # ONE host transfer for B proofs
+    d1 = degree + 1
+    off = 0
+    msgs_np, rs_np = [], []
+    for m, rr, n in parts:
+        sz = int(np.prod(m.shape))
+        msgs_np.append(flat[off : off + sz].reshape(m.shape)[:, :n])
+        off += sz
+        sz = int(np.prod(rr.shape))
+        rs_np.append(flat[off : off + sz].reshape(rr.shape)[:, :n])
+        off += sz
+    msgs_all = np.concatenate(msgs_np, axis=1)  # (B, nv, 16, d+1)
+    rs_all = np.concatenate(rs_np, axis=1)  # (B, nv, 16)
+    h = flat[off : off + Bn * 16].reshape(Bn, 8, 2); off += Bn * 16
+    tt = flat[off : off + Bn].reshape(Bn); off += Bn
+    buf = flat[off : off + Bn * 32].reshape(Bn, 16, 2); off += Bn * 32
+    blen = int(flat[off])
+
+    from .transcript.device import DevTranscript
+
+    proofs, challenges = [], []
+    for b in range(Bn):
+        proofs.append(msgs_from_host(msgs_all[b], degree))
+        challenges.append(
+            [Fr(col_int(rs_all[b, i]) * R_INV % P) for i in range(nv)]
+        )
+        hw, tw, bw = DevTranscript(h[b], tt[b], buf[b], blen).lower()
+        fs_rngs[b].set_state(hw, tw, bw)
+    return proofs, challenges
+
+
 @functools.lru_cache(maxsize=None)
 def _bkernel(half: int, B: int, num_slots: int, products: tuple, degree: int,
              do_fold: bool):
@@ -238,6 +373,8 @@ class BatchedMLSumcheck:
         if get_config().use_chained(n) and all(
             isinstance(r, Blake2b512Rng) for r in fs_rngs
         ):
+            if get_config().chain_impl == "generic":
+                return _prove_batched_generic(fs_rngs, polynomials, degree, nv)
             res = _prove_batched_chained(fs_rngs, polynomials, degree, nv)
             if res is not None:
                 return res

@@ -102,7 +102,9 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     )
     from .utils.config import get_config
 
-    hg_dev, (x, y, w) = GI.phase1_init_device_arrays(f1, f3, list(g), dim)
+    hg_dev, (x, perm_y, last_y, w) = GI.phase1_init_device_arrays(
+        f1, f3, list(g), dim
+    )
     lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
 
     ts = lift_transcript(rng)
@@ -124,7 +126,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             pair1[0][:, :, :1], pair1[1][:, :, :1], r_last
         )
         f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
-            x, y, w, rs1_dev
+            x, perm_y, last_y, w, rs1_dev
         )
         lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
         lo2, hi2 = pad_pair(lo2, hi2)
@@ -144,7 +146,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     # fold by the final challenge evaluates slot 1 = f2 at u.
     f2_u = GI._compiled_final_fold(1)(pair1[0], pair1[1], rs1[-1])
     f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
-        x, y, w, jnp.stack(rs1)
+        x, perm_y, last_y, w, jnp.stack(rs1)
     )
     lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
 

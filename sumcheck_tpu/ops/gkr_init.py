@@ -48,19 +48,8 @@ def _weight_fold(indices, values, r_pts, omr_pts, k: int):
     return w
 
 
-def _segment_reduce_mod_p(vals, seg_ids, num_segments: int):
-    """Sum strict digit columns by segment, exactly, entirely on device.
-
-    vals: (16, nnz) strict; returns (16, num_segments) strict reduced.
-    Digits are split 16->8 bits before the uint32 scatter-add, so up to 2^24
-    colliding entries stay exact; the wide per-segment sums are then
-    carry-normalized and reduced mod p."""
-    lo = (vals & 0xFF).astype(jnp.uint32)
-    hi = (vals >> 8).astype(jnp.uint32)
-    rows = jnp.concatenate([lo, hi], axis=0)  # (32, nnz), each < 2^8
-    sums = jax.ops.segment_sum(rows.T, seg_ids, num_segments=num_segments).T
-    slo, shi = sums[:NUM_DIGITS], sums[NUM_DIGITS:]  # each < 2^(8 + log2 nnz)
-    # value = sum_d slo_d 2^16d + shi_d 2^(16d+8); rebuild relaxed 16-bit rows
+def _finish_segment_sums(slo, shi):
+    """(16, S) 8-bit-split sums (< 2^(8+log2 nnz)) -> strict reduced mod p."""
     zero = jnp.zeros_like(slo[0])
     relaxed = []
     for d in range(NUM_DIGITS + 2):
@@ -75,13 +64,49 @@ def _segment_reduce_mod_p(vals, seg_ids, num_segments: int):
     return LJ.reduce_wide(jnp.stack(strict))
 
 
+def _segment_reduce_mod_p(vals, seg_ids, num_segments: int):
+    """Scatter-based segment reduction (exact; kept for the host-wrapper
+    path). Random-index scatter serializes on TPU — the prove path uses
+    `_segment_reduce_sorted` with a cached sort permutation instead."""
+    lo = (vals & 0xFF).astype(jnp.uint32)
+    hi = (vals >> 8).astype(jnp.uint32)
+    rows = jnp.concatenate([lo, hi], axis=0)  # (32, nnz), each < 2^8
+    sums = jax.ops.segment_sum(rows.T, seg_ids, num_segments=num_segments).T
+    return _finish_segment_sums(sums[:NUM_DIGITS], sums[NUM_DIGITS:])
+
+
+def _segment_reduce_sorted(vals, perm, last_pos):
+    """Exact segment reduction without any scatter: gather entries into
+    segment-sorted order (`perm`, precomputed host-side from the indices
+    alone — challenge-independent, cached on the SparseMLE), 8-bit-split the
+    digits, prefix-sum along entries, and difference the cumsum at each
+    segment's last position (`last_pos`, -1 for the all-empty prefix).
+
+    Exactness: each split digit < 2^8, so a u32 cumsum over nnz <= 2^24
+    entries cannot overflow, and segment sums are exact cumsum differences.
+    Replaces a 2^20-point random scatter (~0.3 s serialized on TPU) with a
+    gather + log-depth scan (~ms)."""
+    v = jnp.take(vals, perm, axis=1)  # (16, nnz) segment-sorted
+    lo = (v & 0xFF).astype(jnp.uint32)
+    hi = (v >> 8).astype(jnp.uint32)
+    rows = jnp.concatenate([lo, hi], axis=0)  # (32, nnz)
+    csum = jnp.cumsum(rows, axis=1, dtype=jnp.uint32)
+    at_last = jnp.take(csum, jnp.maximum(last_pos, 0), axis=1)
+    at_last = jnp.where(last_pos[None, :] >= 0, at_last, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 1), jnp.uint32), at_last[:, :-1]], axis=1
+    )
+    sums = at_last - prev  # exact: cumsum is monotone within u32 range
+    return _finish_segment_sums(sums[:NUM_DIGITS], sums[NUM_DIGITS:])
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_phase1(nnz: int, dim: int):
-    def fn(gbits, x, y_rev, values, g_r, g_omr, f3_bitrev):
+    def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev):
         w = _weight_fold(gbits, values, g_r, g_omr, dim)
         f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
         wv = LJ.mont_mul(w, f3y)
-        hg = _segment_reduce_mod_p(wv, x, 1 << dim)
+        hg = _segment_reduce_sorted(wv, perm_x, last_x)
         return hg, w
 
     return jax.jit(fn)
@@ -89,9 +114,9 @@ def _compiled_phase1(nnz: int, dim: int):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_phase2(nnz: int, dim: int):
-    def fn(x, y, w, u_r, u_omr):
+    def fn(x, perm_y, last_y, w, u_r, u_omr):
         w2 = _weight_fold(x, w, u_r, u_omr, dim)
-        return _segment_reduce_mod_p(w2, y, 1 << dim)
+        return _segment_reduce_sorted(w2, perm_y, last_y)
 
     return jax.jit(fn)
 
@@ -104,19 +129,22 @@ def phase1_init_device_arrays(f1, f3, g: list[Fr], dim: int):
     into the g-bits (low dim), x (middle dim) and y (top dim) components,
     each < 2^dim. f3 is consumed through its cached bit-reversed device copy
     (the y gather indices are bit-reversed host-side to compensate)."""
-    gbits_d, x_dev, y_dev, yrev_d, vals_d = _split_f1_device(f1, dim)
+    gbits_d, x_dev, yrev_d, vals_d, perm_x, last_x, perm_y, last_y = (
+        _split_f1_device(f1, dim)
+    )
     g_r, g_omr = _points_arrays(g)
     fn = _compiled_phase1(int(vals_d.shape[1]), dim)
     hg, w = fn(
         gbits_d,
-        x_dev,
+        perm_x,
+        last_x,
         yrev_d,
         vals_d,
         jnp.asarray(g_r),
         jnp.asarray(g_omr),
         f3.device_bitrev(),
     )
-    return hg, (x_dev, y_dev, w)
+    return hg, (x_dev, perm_y, last_y, w)
 
 
 def _split_f1_device(f1, dim: int):
@@ -133,12 +161,28 @@ def _split_f1_device(f1, dim: int):
     x = ((idx >> dim) & mask).astype(np.int32)
     y = (idx >> (2 * dim)).astype(np.int32)
     y_rev = bitrev_perm(dim)[y].astype(np.int32)
+    # challenge-independent segment-sort metadata (host, once per f1): the
+    # scatter-free reduction gathers entries by `perm` and differences a
+    # cumsum at each segment's last position (`_segment_reduce_sorted`)
+    assert len(idx) <= 1 << 24, "cumsum exactness bound"
+
+    def sort_meta(seg):
+        perm = np.argsort(seg, kind="stable").astype(np.int32)
+        srt = seg[perm]
+        last = (np.searchsorted(srt, np.arange(1 << dim), side="right") - 1)
+        return perm, last.astype(np.int32)
+
+    perm_x, last_x = sort_meta(x)
+    perm_y, last_y = sort_meta(y)
     out = (
         jnp.asarray(gbits),
         jnp.asarray(x),
-        jnp.asarray(y),
         jnp.asarray(y_rev),
         jnp.asarray(f1.values),
+        jnp.asarray(perm_x),
+        jnp.asarray(last_x),
+        jnp.asarray(perm_y),
+        jnp.asarray(last_y),
     )
     try:
         f1._dev_split = (dim, out)
@@ -166,10 +210,12 @@ def phase1_init_device(f1_indices, f1_values, f3_evals, g: list[Fr], dim: int):
 
 def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
     """Device f1(g, u, .) densified: (16, 2^dim) strict, natural order."""
-    x, y, w = carry
+    x, perm_y, last_y, w = carry
     u_r, u_omr = _points_arrays(u)
     fn = _compiled_phase2(int(x.shape[0]), dim)
-    return np.asarray(fn(x, y, w, jnp.asarray(u_r), jnp.asarray(u_omr)))
+    return np.asarray(
+        fn(x, perm_y, last_y, w, jnp.asarray(u_r), jnp.asarray(u_omr))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -216,12 +262,12 @@ def _compiled_final_fold(slot: int):
 def _compiled_phase2_digits(nnz: int, dim: int):
     """Phase-2 init from on-device challenge digits (Montgomery form)."""
 
-    def fn(x, y, w, u_digits):  # u_digits (dim, 16)
+    def fn(x, perm_y, last_y, w, u_digits):  # u_digits (dim, 16)
         one = jnp.asarray(L.mont_scalar(1))  # (16, 1)
         r_pts = [u_digits[i][:, None] for i in range(dim)]
         omr_pts = [LJ.sub(one, r) for r in r_pts]
         w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
-        return _segment_reduce_mod_p(w2, y, 1 << dim)
+        return _segment_reduce_sorted(w2, perm_y, last_y)
 
     return jax.jit(fn)
 

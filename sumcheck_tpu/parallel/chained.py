@@ -83,7 +83,7 @@ def _sharded_step(mesh, H_loc: int, num_slots: int, products: tuple,
 
 @functools.lru_cache(maxsize=None)
 def _sharded_chain(mesh, H_loc: int, num_slots: int, products: tuple,
-                   degree: int, block: int, kind: str):
+                   degree: int, block: int):
     """shard_map-wrapped multi-round chain (see `_chain_step`): ONE dispatch
     runs a dynamic number of sharded rounds, each psum-ing its partials and
     advancing the replicated transcript."""
@@ -92,7 +92,7 @@ def _sharded_chain(mesh, H_loc: int, num_slots: int, products: tuple,
     from jax.sharding import PartitionSpec as Pspec
 
     raw = _chain_step.__wrapped__(
-        H_loc, num_slots, products, degree, block, kind, False,
+        H_loc, num_slots, products, degree, block, False,
         axis_name="x", jit=False,
     )
     spec_t = Pspec(None, None, "x")
@@ -221,60 +221,32 @@ class ChainedShardedProver:
         parts = []
 
         num_sharded = nv - sigma  # rounds with >= 1 active pair per shard
-        variant = "first_block" if H_loc >= B else "first_tail"
         step = _sharded_step(
-            self.mesh, H_loc, num_slots, products, degree, B, variant
+            self.mesh, H_loc, num_slots, products, degree, B, "first_block"
         )
         lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H_loc), r, *state)
         parts.append((canon[None], r[None], 1))
 
-        nb = sum(1 for i in range(1, num_sharded) if (H_loc >> i) >= B)
-        if nb:
+        if num_sharded > 1:
             cstep = _sharded_chain(
-                self.mesh, H_loc, num_slots, products, degree, B,
-                "fold_block_chain",
+                self.mesh, H_loc, num_slots, products, degree, B
             )
             lo, hi, r, state, msgs, rs = cstep(
-                lo, hi, jnp.uint32(H_loc >> 1), jnp.int32(nb), r, *state
+                lo, hi, jnp.uint32(H_loc >> 1), jnp.int32(num_sharded - 1),
+                r, *state
             )
-            parts.append((msgs, rs, nb))
-        nt = num_sharded - 1 - nb
-        if nt:
-            cstep = _sharded_chain(
-                self.mesh, H_loc, num_slots, products, degree, B,
-                "fold_tail_chain",
-            )
-            lo, hi, r, state, msgs, rs = cstep(
-                lo, hi, jnp.uint32(H_loc >> (1 + nb)), jnp.int32(nt), r, *state
-            )
-            parts.append((msgs, rs, nt))
+            parts.append((msgs, rs, num_sharded - 1))
 
         if sigma:
             # replicated tail: gather the one-pair-per-shard remnant and run
             # the remaining rounds identically on every device, in one chain
             lo, hi = _gather_remnant(self.mesh, num_slots)(lo, hi)
             Bt = min(self.block or get_config().generic_block, S)
-            nbr = sum(1 for j in range(sigma) if (S >> (j + 1)) >= Bt)
-            if nbr:
-                cstep = _chain_step(
-                    S, num_slots, products, degree, Bt, "fold_block_chain",
-                    False,
-                )
-                lo, hi, r, state, msgs, rs = cstep(
-                    lo, hi, jnp.uint32(S >> 1), jnp.int32(nbr), r, *state
-                )
-                parts.append((msgs, rs, nbr))
-            ntr = sigma - nbr
-            if ntr:
-                cstep = _chain_step(
-                    S, num_slots, products, degree, Bt, "fold_tail_chain",
-                    False,
-                )
-                lo, hi, r, state, msgs, rs = cstep(
-                    lo, hi, jnp.uint32(S >> (1 + nbr)), jnp.int32(ntr), r,
-                    *state
-                )
-                parts.append((msgs, rs, ntr))
+            cstep = _chain_step(S, num_slots, products, degree, Bt, False)
+            lo, hi, r, state, msgs, rs = cstep(
+                lo, hi, jnp.uint32(S >> 1), jnp.int32(sigma), r, *state
+            )
+            parts.append((msgs, rs, sigma))
 
         msgs_h, rs_h, carry_h, blen = _fetch(parts, state, degree)
         prover_msgs = msgs_from_host(msgs_h, degree)

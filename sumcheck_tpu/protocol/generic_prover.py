@@ -65,23 +65,25 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
     `variant` is chosen statically per round by the driver (the round index
     is Python-side knowledge, so no traced branching is needed — traced
     `lax.cond` over these bodies sent XLA:CPU's compile memory past 15 GB):
-      - "first_block": round 0 (no fold), A2 >= block
-      - "first_tail":  round 0, A2 < block (tiny instances)
-      - "fold_block":  fold+evaluate, A2 >= block (the workhorse)
-      - "fold_tail":   fold+evaluate, A2 < block (masked single slab)
-    A full prove therefore compiles at most 3 programs, reused across every
-    nv in the family — vs ~2*nv programs for the per-size chain.
+      - "first_block": round 0 (no fold)
+      - "fold_block":  fold+evaluate (every later round)
+    Both bodies run a MASKED block loop with at least one block, so a single
+    program per variant covers every active extent (A2 >= B uses exact
+    blocks with an all-true mask; A2 < B uses one masked block whose fold
+    partner sits at dynamic offset A2 inside the first 2B <= H lanes). A
+    full prove therefore compiles exactly 2 table programs, reused across
+    every nv in the family — vs ~2*nv programs for the per-size chain.
     """
     import jax
     import jax.numpy as jnp
 
     from . import engine
 
-    B = min(block, H)
+    # B <= H/2 keeps the sub-block fold partner slice [A2, A2+B) in bounds
+    B = max(1, min(block, H // 2))
     # any power-of-two block is exact: `sum_lanes_wide` switches to its
     # two-level reduction above 2^16 lanes
     assert B & (B - 1) == 0
-    S = min(2 * B, H)  # tail slab width
     U = num_slots
     d1 = degree + 1
     _u32 = jnp.uint32
@@ -103,6 +105,12 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
         stacked = jnp.concatenate([E, O], axis=-1)  # (16,U,2B): even|odd
         return engine.round_sums(engine.DEVICE, stacked, None, idx_mat, degree)
 
+    def lane_mask(off, A2):
+        """(16,1,B) bool: global lane off+i active. All-true for full blocks;
+        masks the one partial block of sub-block rounds."""
+        lane = jax.lax.broadcasted_iota(_u32, (NUM_DIGITS, 1, B), 2)
+        return (lane + off.astype(_u32)) < A2
+
     def first_block(lo, hi, A2, r_col, acc0, nb):
         idx_mat = jnp.asarray(idx_np)
 
@@ -111,18 +119,12 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
             off = b * B
             E = jax.lax.dynamic_slice(lo_, (0, 0, off), (U, NUM_DIGITS, B))
             O = jax.lax.dynamic_slice(hi_, (0, 0, off), (U, NUM_DIGITS, B))
-            part = pair_sums(jnp.moveaxis(E, 0, 1), jnp.moveaxis(O, 0, 1), idx_mat)
-            return lo_, hi_, acc + part
+            mask = lane_mask(off, A2)
+            E = jnp.where(mask, jnp.moveaxis(E, 0, 1), 0)
+            O = jnp.where(mask, jnp.moveaxis(O, 0, 1), 0)
+            return lo_, hi_, acc + pair_sums(E, O, idx_mat)
 
         return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
-
-    def first_tail(lo, hi, A2, r_col, acc0, nb):
-        idx_mat = jnp.asarray(idx_np)
-        lane = jax.lax.broadcasted_iota(_u32, (NUM_DIGITS, 1, S), 2)
-        mask = lane < A2
-        E = jnp.where(mask, jnp.moveaxis(lo[:, :, :S], 0, 1), 0)
-        O = jnp.where(mask, jnp.moveaxis(hi[:, :, :S], 0, 1), 0)
-        return lo, hi, acc0 + pair_sums(E, O, idx_mat)
 
     def fold_block(lo, hi, A2, r_col, acc0, nb):
         idx_mat = jnp.asarray(idx_np)
@@ -135,8 +137,9 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
             H0 = jax.lax.dynamic_slice(hi_, (0, 0, off), (U, NUM_DIGITS, B))
             L1 = jax.lax.dynamic_slice(lo_, (0, 0, off2), (U, NUM_DIGITS, B))
             H1 = jax.lax.dynamic_slice(hi_, (0, 0, off2), (U, NUM_DIGITS, B))
-            nl = fold_both(L0, H0, r_col)  # (16,U,B)
-            nh = fold_both(L1, H1, r_col)
+            mask = lane_mask(off, A2)
+            nl = jnp.where(mask, fold_both(L0, H0, r_col), 0)  # (16,U,B)
+            nh = jnp.where(mask, fold_both(L1, H1, r_col), 0)
             lo_ = jax.lax.dynamic_update_slice(
                 lo_, jnp.moveaxis(nl, 0, 1), (0, 0, off)
             )
@@ -147,29 +150,16 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
 
         return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
 
-    def fold_tail(lo, hi, A2, r_col, acc0, nb):
-        idx_mat = jnp.asarray(idx_np)
-        lane = jax.lax.broadcasted_iota(_u32, (NUM_DIGITS, 1, S), 2)
-        mask = lane < A2
-        idx = (jax.lax.iota(_u32, S) + A2) % _u32(S)  # valid where mask
-        folded = fold_both(lo[:, :, :S], hi[:, :, :S], r_col)  # (16,U,S)
-        nl = jnp.where(mask, folded, 0)
-        nh = jnp.where(mask, jnp.take(folded, idx, axis=2), 0)
-        lo = jax.lax.dynamic_update_slice(lo, jnp.moveaxis(nl, 0, 1), (0, 0, 0))
-        hi = jax.lax.dynamic_update_slice(hi, jnp.moveaxis(nh, 0, 1), (0, 0, 0))
-        return lo, hi, acc0 + pair_sums(nl, nh, idx_mat)
-
     table_fn = {
         "first_block": first_block,
-        "first_tail": first_tail,
         "fold_block": fold_block,
-        "fold_tail": fold_tail,
     }[variant]
 
     def fn(lo, hi, A2, r, h, t, buf, blen):
         r_col = r[:, None, None]  # broadcasts over (16, U, B)
         acc0 = jnp.zeros((LJ.WIDE_DIGITS, d1), _u32)
-        nb = (A2 // _u32(B)).astype(jnp.int32)
+        # at least one (masked) block even when the extent is sub-block
+        nb = jnp.maximum((A2 // _u32(B)).astype(jnp.int32), 1)
         lo, hi, acc = table_fn(lo, hi, A2, r_col, acc0, nb)
         if axis_name is not None:
             # exact integer allreduce of the strict-wide partials (< 2^25
@@ -198,29 +188,29 @@ _R_CAP = 32  # static message-buffer depth of a chain program (rounds <= 30)
 
 @functools.lru_cache(maxsize=None)
 def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
-                block: int, kind: str, donate: bool,
+                block: int, donate: bool,
                 axis_name: str | None = None, jit: bool = True):
     """Multi-round chain program: run a DYNAMIC number of consecutive fold
-    rounds (all-block or all-tail) inside one compiled program.
+    rounds inside one compiled program (the masked `fold_block` body covers
+    block-sized and sub-block extents alike).
 
     Per-round dispatch costs ~2 ms on a tunneled TPU; nv=20 needs 20 rounds
     and GKR nv=18 needs 36 — at one dispatch per round that overhead alone
-    exceeds a 15x-baseline GKR budget. A chain collapses all block rounds
-    into ONE dispatch (outer `fori_loop` over rounds, inner over blocks) and
-    all tail rounds into another; a full prove is 3 dispatches + 1 fetch.
+    exceeds a 15x-baseline GKR budget. The chain collapses every round after
+    the first into ONE dispatch (outer `fori_loop` over rounds, inner over
+    blocks); a full prove is 2 dispatches + 1 fetch, and a full cold start
+    compiles 2 table programs.
 
     fn(lo, hi, A2_start, n_rounds, r, h, t, buf, blen) ->
         (lo', hi', r', state', msgs (R_CAP,16,d+1), rs (R_CAP,16))
     Round j in [0, n_rounds) has active pairs A2_start >> j; its canonical
     message lands in msgs[j], its sampled challenge in rs[j].
-    `kind`: "fold_block_chain" | "fold_tail_chain".
     """
     import jax
     import jax.numpy as jnp
 
     inner = _generic_step.__wrapped__(
-        H, num_slots, products, degree, block,
-        "fold_block" if kind == "fold_block_chain" else "fold_tail",
+        H, num_slots, products, degree, block, "fold_block",
         False, axis_name=axis_name, jit=False,
     )
     d1 = degree + 1
@@ -268,11 +258,9 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
 
     import jax.numpy as jnp
 
-    programs = {"first_block" if H0 >= B else "first_tail"}
-    for i in range(1, num_rounds):
-        programs.add(
-            "fold_block_chain" if (H0 >> i) >= B else "fold_tail_chain"
-        )
+    programs = ["first_block"]
+    if num_rounds > 1:
+        programs.append("fold_chain")
 
     def compile_one(name):
         lo = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
@@ -280,10 +268,9 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
         r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
         h = jnp.zeros((8, 2), jnp.uint32)
         buf = jnp.zeros((16, 2), jnp.uint32)
-        if name.endswith("_chain"):
-            cstep = _chain_step(H, num_slots, products, degree, B, name, donate)
-            a2 = B if name == "fold_block_chain" else 1
-            out = cstep(lo, hi, jnp.uint32(a2), jnp.int32(1), r, h,
+        if name == "fold_chain":
+            cstep = _chain_step(H, num_slots, products, degree, B, donate)
+            out = cstep(lo, hi, jnp.uint32(B), jnp.int32(1), r, h,
                         jnp.uint32(0), buf, jnp.uint32(0))
         else:
             step = _generic_step(H, num_slots, products, degree, B, name, donate)
@@ -292,7 +279,7 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
         out[2].block_until_ready()
 
     with concurrent.futures.ThreadPoolExecutor(len(programs)) as ex:
-        list(ex.map(compile_one, sorted(programs)))
+        list(ex.map(compile_one, programs))
 
 
 def pad_pair(lo, hi):
@@ -345,25 +332,16 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
     r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
     parts = []
 
-    variant = "first_block" if H0 >= B else "first_tail"
-    step = _generic_step(H, U, products, degree, B, variant, donate)
+    step = _generic_step(H, U, products, degree, B, "first_block", donate)
     lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
     parts.append((canon[None], r[None], 1))
 
-    nb = sum(1 for i in range(1, num_rounds) if (H0 >> i) >= B)
-    if nb:
-        cstep = _chain_step(H, U, products, degree, B, "fold_block_chain", donate)
+    if num_rounds > 1:
+        cstep = _chain_step(H, U, products, degree, B, donate)
         lo, hi, r, state, msgs, rs = cstep(
-            lo, hi, jnp.uint32(H0 >> 1), jnp.int32(nb), r, *state
+            lo, hi, jnp.uint32(H0 >> 1), jnp.int32(num_rounds - 1), r, *state
         )
-        parts.append((msgs, rs, nb))
-    nt = num_rounds - 1 - nb
-    if nt:
-        cstep = _chain_step(H, U, products, degree, B, "fold_tail_chain", donate)
-        lo, hi, r, state, msgs, rs = cstep(
-            lo, hi, jnp.uint32(H0 >> (1 + nb)), jnp.int32(nt), r, *state
-        )
-        parts.append((msgs, rs, nt))
+        parts.append((msgs, rs, num_rounds - 1))
     return parts, state, (lo, hi), r
 
 

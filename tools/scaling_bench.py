@@ -36,6 +36,8 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
 )
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
