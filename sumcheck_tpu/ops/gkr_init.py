@@ -39,13 +39,27 @@ def _points_arrays(points: list[Fr]):
 
 
 def _weight_fold(indices, values, r_pts, omr_pts, k: int):
-    """values * prod_{i<k} (bit_i(indices) ? r_i : 1-r_i), batched."""
-    w = values
+    """values * prod_{i<k} (bit_i(indices) ? r_i : 1-r_i), batched.
+
+    Computed via the eq table, NOT via k per-entry multiply-select passes:
+    k sequential (16, nnz) Montgomery multiplies are ALU-bound (~11 ms each
+    at nnz=2^20 — the k=20 chain was 117 ms and dominated the whole GKR
+    prove), while the doubling build is ~2 multiply-equivalents total plus
+    one fast gather."""
+    eq = _eq_table(r_pts, omr_pts, k)
+    return LJ.mont_mul(values, jnp.take(eq, indices, axis=1))
+
+
+def _eq_table(r_pts, omr_pts, k: int):
+    """(16, 2^k) eq table: eq[j] = prod_i (bit_i(j) ? r_i : 1-r_i), built by
+    k doublings (index convention: bit i of j = variable i, low bits first).
+    r_pts/omr_pts: indexable (k, 16, 1) Montgomery digit columns."""
+    eq = jnp.asarray(L.mont_scalar(1))  # (16, 1)
     for i in range(k):
-        bit = ((indices >> i) & 1) == 1  # (nnz,)
-        factor = jnp.where(bit[None, :], r_pts[i], omr_pts[i])  # (16, nnz)
-        w = LJ.mont_mul(w, factor)
-    return w
+        lo = LJ.mont_mul(eq, omr_pts[i])
+        hi = LJ.mont_mul(eq, r_pts[i])
+        eq = jnp.concatenate([lo, hi], axis=1)  # (16, 2^(i+1))
+    return eq
 
 
 def _finish_segment_sums(slo, shi):
