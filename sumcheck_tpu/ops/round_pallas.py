@@ -177,6 +177,97 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
     return jax.jit(run)
 
 
+def _kernel_chain_fold(products, degree, num_slots, r_ref, mask_ref,
+                       lo0_ref, lo1_ref, hi0_ref, hi1_ref,
+                       flo_ref, fhi_ref, part_ref):
+    """Masked fold+evaluate for one chain block tile (shape-generic chained
+    prover): identical math to `_kernel_fold` but lanes where `mask == 0`
+    fold to 0 (they are past the traced active extent A2 and dead for every
+    later round), so their products vanish from the block sums."""
+    r_blk = r_ref[:]
+    mask = mask_ref[:]  # (16, bt) uint32 0/1
+    new_lo, new_hi = [], []
+    for u in range(num_slots):
+        l0, l1 = lo0_ref[u], lo1_ref[u]
+        h0, h1 = hi0_ref[u], hi1_ref[u]
+        nl = LJ.add(l0, LJ.mont_mul(LJ.sub(h0, l0), r_blk)) * mask
+        nh = LJ.add(l1, LJ.mont_mul(LJ.sub(h1, l1), r_blk)) * mask
+        flo_ref[u] = nl
+        fhi_ref[u] = nh
+        new_lo.append(nl)
+        new_hi.append(nh)
+    part_ref[0] = _block_sums(new_lo, new_hi, None, products, degree)
+
+
+def _kernel_chain_nofold(products, degree, num_slots, mask_ref,
+                         lo_ref, hi_ref, part_ref):
+    mask = mask_ref[:]
+    E = [lo_ref[u] * mask for u in range(num_slots)]
+    O = [hi_ref[u] * mask for u in range(num_slots)]
+    part_ref[0] = _block_sums(E, O, None, products, degree)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain(B: int, num_slots: int, products: tuple, degree: int,
+                 do_fold: bool, bt: int, interpret: bool):
+    """Fused masked block step for the shape-generic chain: processes one
+    (U, 16, B) block as a grid of B/bt tiles. Returns
+    fn(r_blk, mask, *stripes) -> pallas outputs (coefficients are always
+    pre-folded into the tables on this path)."""
+    import jax.experimental.pallas as pl
+
+    U1 = num_slots
+    d1 = degree + 1
+    nblk = B // bt
+    assert nblk >= 1 and B % bt == 0
+    tbl = pl.BlockSpec((U1, NUM_DIGITS, bt), lambda j: (0, 0, j))
+    r_spec = pl.BlockSpec((NUM_DIGITS, bt), lambda j: (0, 0))  # (16, bt) operand
+    mask_spec = pl.BlockSpec((NUM_DIGITS, bt), lambda j: (0, j))  # (16, B) operand
+    part_spec = pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0))
+    part_shape = jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32)
+    if do_fold:
+        kernel = functools.partial(_kernel_chain_fold, products, degree, U1)
+        return pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[r_spec, mask_spec, tbl, tbl, tbl, tbl],
+            out_specs=[tbl, tbl, part_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
+                part_shape,
+            ],
+            interpret=interpret,
+        )
+    kernel = functools.partial(_kernel_chain_nofold, products, degree, U1)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[mask_spec, tbl, tbl],
+        out_specs=[part_spec],
+        out_shape=[part_shape],
+        interpret=interpret,
+    )
+
+
+def chain_block_sums_to_wide(part):
+    """(nblk, d+1, 16) relaxed tile partials -> (WIDE, d+1) u32 with digits
+    < 2^17: exact tile-sum (each digit < bt*2^16 <= 2^29, nblk <= 64 keeps
+    the u32 sum exact), then one carry-free 16-bit split. Cheap enough to
+    run per block; the chain accumulates these and normalizes once per
+    round (`LJ._chain` in `_generic_step`)."""
+    s = jnp.sum(part, axis=0)  # (d+1, 16)
+    rows = jnp.moveaxis(s, -1, 0)  # (16, d+1)
+    lo = rows & jnp.uint32(0xFFFF)
+    hi = rows >> 16
+    z = jnp.zeros((1, rows.shape[1]), jnp.uint32)
+    pad = jnp.zeros((LJ.WIDE_DIGITS - NUM_DIGITS - 1, rows.shape[1]), jnp.uint32)
+    return (
+        jnp.concatenate([lo, z, pad], axis=0)
+        + jnp.concatenate([z, hi, pad], axis=0)
+    )
+
+
 def round_pallas(lo, hi, r_digits, coeffs_pd, products: tuple, degree: int,
                  do_fold: bool, block: int = 1024, interpret: bool = False):
     """Run one fused round on the (lo, hi) table pair.

@@ -49,10 +49,39 @@ from .device_prover import (
 )
 
 
-@functools.lru_cache(maxsize=None)
+def _use_pallas_chain() -> bool:
+    """Fused Pallas block body for the generic chain: real-TPU backends only
+    (CPU tests and the virtual sharded mesh keep the pure-jnp body; interpret
+    mode would be pointlessly slow there and the two bodies are pinned
+    bit-identical by the TPU equality tests)."""
+    import jax
+
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    if cfg.pallas == "on":  # forced (interpret mode off-TPU — tests only)
+        return True
+    return cfg.pallas != "off" and jax.default_backend() == "tpu"
+
+
 def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
                   block: int, variant: str, donate: bool,
                   axis_name: str | None = None, jit: bool = True):
+    return _generic_step_impl(H, num_slots, products, degree, block, variant,
+                              donate, axis_name, jit, _use_pallas_chain())
+
+
+# kept for the shard_map wrappers that reach the unjitted builder directly
+_generic_step.__wrapped__ = (
+    lambda *a, **k: _generic_step_impl(*a, **k, pallas=False)
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
+                       block: int, variant: str, donate: bool,
+                       axis_name: str | None = None, jit: bool = True,
+                       pallas: bool = False):
     """Build one round-program variant.
 
     fn(lo, hi, A2, r, h, t, buf, blen) ->
@@ -150,10 +179,65 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
 
         return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
 
-    table_fn = {
-        "first_block": first_block,
-        "fold_block": fold_block,
-    }[variant]
+    if pallas:
+        # Fused Pallas block body: the ~300 small HLOs of the jnp fold +
+        # evaluate + reduce (each op-dispatch bound at these sizes — measured
+        # ~1 ms per 8k-lane block, ~60x off HBM speed of light) collapse into
+        # ONE kernel launch per block; outer structure (dynamic offsets,
+        # masked extents, transcript) is unchanged and proofs stay
+        # byte-identical (same integer partial sums).
+        from ..ops.round_pallas import _build_chain, chain_block_sums_to_wide
+        from ..utils.config import get_config
+
+        interp = get_config().pallas_interpret  # off-TPU test path only
+        bt = min(B, 1024)
+        fold_call = _build_chain(B, U, products, degree, True, bt, interp)
+        nofold_call = _build_chain(B, U, products, degree, False, bt, interp)
+
+        def lane_mask2(off, A2):
+            lane = jax.lax.broadcasted_iota(_u32, (NUM_DIGITS, B), 1)
+            return ((lane + off.astype(_u32)) < A2).astype(_u32)
+
+        def first_block_pl(lo, hi, A2, r_col, acc0, nb):
+            def body(b, carry):
+                lo_, hi_, acc = carry
+                off = b * B
+                E = jax.lax.dynamic_slice(lo_, (0, 0, off), (U, NUM_DIGITS, B))
+                O = jax.lax.dynamic_slice(hi_, (0, 0, off), (U, NUM_DIGITS, B))
+                (part,) = nofold_call(lane_mask2(off, A2), E, O)
+                return lo_, hi_, acc + chain_block_sums_to_wide(part)
+
+            return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
+
+        def fold_block_pl(lo, hi, A2, r_col, acc0, nb):
+            r_blk = jnp.broadcast_to(r_col[:, 0], (NUM_DIGITS, bt))
+
+            def body(b, carry):
+                lo_, hi_, acc = carry
+                off = b * B
+                off2 = A2.astype(jnp.int32) + b * B
+                L0 = jax.lax.dynamic_slice(lo_, (0, 0, off), (U, NUM_DIGITS, B))
+                H0 = jax.lax.dynamic_slice(hi_, (0, 0, off), (U, NUM_DIGITS, B))
+                L1 = jax.lax.dynamic_slice(lo_, (0, 0, off2), (U, NUM_DIGITS, B))
+                H1 = jax.lax.dynamic_slice(hi_, (0, 0, off2), (U, NUM_DIGITS, B))
+                flo, fhi, part = fold_call(
+                    r_blk, lane_mask2(off, A2), L0, L1, H0, H1
+                )
+                lo_ = jax.lax.dynamic_update_slice(lo_, flo, (0, 0, off))
+                hi_ = jax.lax.dynamic_update_slice(hi_, fhi, (0, 0, off))
+                return lo_, hi_, acc + chain_block_sums_to_wide(part)
+
+            return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
+
+        table_fn = {
+            "first_block": first_block_pl,
+            "fold_block": fold_block_pl,
+        }[variant]
+    else:
+        table_fn = {
+            "first_block": first_block,
+            "fold_block": fold_block,
+        }[variant]
 
     def fn(lo, hi, A2, r, h, t, buf, blen):
         r_col = r[:, None, None]  # broadcasts over (16, U, B)
@@ -186,10 +270,23 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
 _R_CAP = 32  # static message-buffer depth of a chain program (rounds <= 30)
 
 
-@functools.lru_cache(maxsize=None)
 def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
                 block: int, donate: bool,
                 axis_name: str | None = None, jit: bool = True):
+    return _chain_step_impl(H, num_slots, products, degree, block, donate,
+                            axis_name, jit, _use_pallas_chain())
+
+
+_chain_step.__wrapped__ = (
+    lambda *a, **k: _chain_step_impl(*a, **k, pallas=False)
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_step_impl(H: int, num_slots: int, products: tuple, degree: int,
+                     block: int, donate: bool,
+                     axis_name: str | None = None, jit: bool = True,
+                     pallas: bool = False):
     """Multi-round chain program: run a DYNAMIC number of consecutive fold
     rounds inside one compiled program (the masked `fold_block` body covers
     block-sized and sub-block extents alike).
@@ -209,9 +306,9 @@ def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
     import jax
     import jax.numpy as jnp
 
-    inner = _generic_step.__wrapped__(
+    inner = _generic_step_impl(
         H, num_slots, products, degree, block, "fold_block",
-        False, axis_name=axis_name, jit=False,
+        False, axis_name=axis_name, jit=False, pallas=pallas,
     )
     d1 = degree + 1
     _u32 = jnp.uint32

@@ -96,3 +96,29 @@ def test_dyn_transcript_matches_static():
         from sumcheck_tpu.fields.fr import P, R_INV
 
         assert got * R_INV % P == want.v
+
+
+@pytest.mark.slow
+def test_pallas_chain_matches_jnp(rnd):
+    """The fused Pallas block body (interpret mode off-TPU) produces proofs
+    byte-identical to the jnp body across multi-block, sub-block, and
+    first-round paths (ops/round_pallas.py chain kernels)."""
+    import sumcheck_tpu.protocol.generic_prover as GP
+
+    poly, _ = random_list_of_products(6, (2, 3), 2, rnd)
+    href, _, _ = _host_proof(poly)
+
+    cfg = get_config()
+    saved = cfg.pallas
+    cfg.pallas = "on"
+    GP._generic_step_impl.cache_clear()
+    GP._chain_step_impl.cache_clear()
+    try:
+        rng = Blake2b512Rng.setup()
+        rng.feed(poly.info())
+        proof, _ = prove_generic(rng, poly, block=8)
+    finally:
+        cfg.pallas = saved
+        GP._generic_step_impl.cache_clear()
+        GP._chain_step_impl.cache_clear()
+    assert serialize_proof(proof) == serialize_proof(href)
