@@ -268,6 +268,7 @@ def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
 
 
 _R_CAP = 32  # static message-buffer depth of a chain program (rounds <= 30)
+_TAIL_BLOCK = 512  # narrow-chain block for rounds with extent < generic_block
 
 
 def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
@@ -358,6 +359,8 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
     programs = ["first_block"]
     if num_rounds > 1:
         programs.append("fold_chain")
+        if min(B, _TAIL_BLOCK) != B:
+            programs.append("fold_chain_tail")
 
     def compile_one(name):
         lo = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
@@ -365,9 +368,10 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
         r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
         h = jnp.zeros((8, 2), jnp.uint32)
         buf = jnp.zeros((16, 2), jnp.uint32)
-        if name == "fold_chain":
-            cstep = _chain_step(H, num_slots, products, degree, B, donate)
-            out = cstep(lo, hi, jnp.uint32(B), jnp.int32(1), r, h,
+        if name.startswith("fold_chain"):
+            Bc = min(B, _TAIL_BLOCK) if name.endswith("tail") else B
+            cstep = _chain_step(H, num_slots, products, degree, Bc, donate)
+            out = cstep(lo, hi, jnp.uint32(Bc), jnp.int32(1), r, h,
                         jnp.uint32(0), buf, jnp.uint32(0))
         else:
             step = _generic_step(H, num_slots, products, degree, B, name, donate)
@@ -433,12 +437,32 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
     lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
     parts.append((canon[None], r[None], 1))
 
-    if num_rounds > 1:
-        cstep = _chain_step(H, U, products, degree, B, donate)
-        lo, hi, r, state, msgs, rs = cstep(
-            lo, hi, jnp.uint32(H0 >> 1), jnp.int32(num_rounds - 1), r, *state
-        )
-        parts.append((msgs, rs, num_rounds - 1))
+    # Tail rounds with A2 < B still pay one FULL masked B-block of Montgomery
+    # ALU (the mask zeroes results, not work), ~2.5 ms/round at B=2^13 — the
+    # dominant cost of every small-dim prove (GKR dim rounds especially). So
+    # the chain is split: rounds whose extent fills at least one B-block run
+    # in the big-B chain; the rest run in a narrow-B chain whose masked slab
+    # is ~B/B_TAIL x cheaper. One extra compiled program per family.
+    B_tail = min(B, _TAIL_BLOCK)
+    n_rest = num_rounds - 1
+    if n_rest > 0:
+        # rounds j = 1 .. with extent H0 >> j; big rounds need H0 >> j >= B
+        n_big = max(0, min(n_rest, (H0 // B).bit_length() - 1))
+        if B_tail == B:
+            n_big = n_rest
+        if n_big > 0:
+            cstep = _chain_step(H, U, products, degree, B, donate)
+            lo, hi, r, state, msgs, rs = cstep(
+                lo, hi, jnp.uint32(H0 >> 1), jnp.int32(n_big), r, *state
+            )
+            parts.append((msgs, rs, n_big))
+        if n_rest - n_big > 0:
+            cstep = _chain_step(H, U, products, degree, B_tail, donate)
+            lo, hi, r, state, msgs, rs = cstep(
+                lo, hi, jnp.uint32(H0 >> (n_big + 1)),
+                jnp.int32(n_rest - n_big), r, *state
+            )
+            parts.append((msgs, rs, n_rest - n_big))
     return parts, state, (lo, hi), r
 
 
