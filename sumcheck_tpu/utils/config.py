@@ -4,8 +4,9 @@
 Environment overrides:
 - ``SUMCHECK_TPU_DEVICE_THRESHOLD``: table length (lanes) above which prover
   rounds run on the JAX device engine; at or below, the vectorized NumPy host
-  engine is used (tail rounds are tiny — host is faster than a kernel launch,
-  and small test cases never pay XLA compile time).
+  engine is used. Unset/0 = backend default (2^8 on real TPU, where the
+  chained one-sync prove beats the host engine even for small tables; 2^12
+  elsewhere, where XLA compile time dwarfs tiny proves).
 - ``SUMCHECK_TPU_ENGINE``: force ``device`` | ``host`` | ``auto`` (default).
 - ``SUMCHECK_TPU_PALLAS``: ``auto`` (default: fused Pallas kernel on real TPU
   backends), ``on`` (force, incl. interpret mode off-TPU), ``off`` (use the
@@ -20,7 +21,7 @@ from dataclasses import dataclass
 
 @dataclass
 class Config:
-    device_threshold: int = int(os.environ.get("SUMCHECK_TPU_DEVICE_THRESHOLD", 1 << 12))
+    device_threshold: int = int(os.environ.get("SUMCHECK_TPU_DEVICE_THRESHOLD", 0))
     engine: str = os.environ.get("SUMCHECK_TPU_ENGINE", "auto")  # auto|device|host
     pallas: str = os.environ.get("SUMCHECK_TPU_PALLAS", "auto")  # auto|on|off
     pallas_block: int = int(os.environ.get("SUMCHECK_TPU_PALLAS_BLOCK", 1 << 8))
@@ -46,12 +47,24 @@ class Config:
             return (1 << 19) if jax.default_backend() == "tpu" else 0
         return 1 << int(self.generic_pad)
 
+    def _threshold(self) -> int:
+        """Resolved host/device crossover (lanes). 0 = backend default:
+        on real TPU the chained prove is one async dispatch chain + one
+        sync, so even small tables win over the (1-core) host engine —
+        crossover 2^8; elsewhere XLA compile time dwarfs tiny proves —
+        crossover 2^12."""
+        if self.device_threshold:
+            return self.device_threshold
+        import jax
+
+        return (1 << 8) if jax.default_backend() == "tpu" else (1 << 12)
+
     def use_device(self, table_len: int) -> bool:
         if self.engine == "device":
             return True
         if self.engine == "host":
             return False
-        return table_len > self.device_threshold
+        return table_len > self._threshold()
 
     def use_chained(self, table_len: int) -> bool:
         """Whole-prove-on-device path (transcript included, one final sync)."""
