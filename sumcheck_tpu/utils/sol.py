@@ -2,17 +2,19 @@
 star: "every round kernel measured against speed-of-light limb-multiply
 throughput per chip").
 
-Two rooflines bound a prove:
+Two rooflines bound a prove; both are *measured* on the live chip (not
+quoted from specs) by `measure_roofline`:
 
-- ALU: every Montgomery multiply is a fixed budget of uint32 vector ops
-  (CIOS, 16x16-bit digits — `fields/limbs_jnp._cios_body`): 16 outer
-  iterations x (16 multiply-accumulate + 16 reduce steps) ~= 512 u32
-  multiplies + ~2200 adds/shifts/masks per lane. The chip's u32 throughput
-  is *measured* (not quoted from specs) by `measure_roofline`.
+- **Montgomery-multiply rate** (primary): throughput of the exact CIOS
+  kernel the rounds run (16x16-bit digits, `fields/limbs_jnp._cios_body`:
+  512 u32 multiplies + ~2200 adds/shifts/masks per lane), timed as an
+  unrolled chain of dependent mont_muls over 2^20 lanes. A synthetic u32
+  mul+add rate is also recorded for reference, but generic chains and the
+  real CIOS op mix schedule too differently on the VPU to compare fairly.
 - HBM: the fused round step streams the active table extent once in and the
-  folded halves once out; bandwidth is likewise measured with a copy kernel.
+  folded halves once out; bandwidth measured with a copy kernel.
 
-SOL seconds = max(alu_ops / alu_rate, bytes / hbm_bw); %SOL = SOL / achieved.
+SOL seconds = max(mont_muls / mont_rate, bytes / hbm_bw); %SOL = SOL / achieved.
 Op counts are analytic from the algorithm (`prover.rs:110-132` semantics):
 round i has A2 = 2^(nv-1-i) active pairs; fold costs U*2*A2 mont_muls
 (U = table slots), evaluation costs P*(L-1)*(d+1)*A2 (P products padded to
@@ -74,15 +76,16 @@ def measure_roofline(force: bool = False) -> dict:
         return cache[backend]
 
     n = 1 << 22  # 16 MiB of u32 lanes
-    iters = 64
+    iters = 256  # UNROLLED in-trace: one fused kernel, ops stay in registers
+    # (a fori_loop body materializes to HBM every iteration and measures
+    # bandwidth, not ALU — it under-reported the u32 rate ~100x)
 
     @jax.jit
     def alu_kernel(a, b):
-        # chain of dependent multiply-adds: iters * 2 ops per lane
-        def body(_, x):
-            return x * b + jnp.uint32(1)
-
-        return jax.lax.fori_loop(0, iters, body, a)
+        x = a
+        for _ in range(iters):
+            x = x * b + jnp.uint32(1)
+        return x
 
     a = jnp.arange(n, dtype=jnp.uint32)
     b = jnp.full((n,), 3, jnp.uint32)
@@ -95,6 +98,36 @@ def measure_roofline(force: bool = False) -> dict:
     np.asarray(out[:1])  # tunneled-TPU-safe sync
     dt = (time.perf_counter() - t0) / reps
     alu_ops_per_s = 2.0 * iters * n / dt  # mul+add per lane-iter
+
+    # The PRIMARY roofline: measured throughput of the exact CIOS Montgomery
+    # multiply the round kernels run (BASELINE.json: "measured against
+    # speed-of-light limb-multiply throughput per chip"). A chain of
+    # dependent mont_muls on wide lanes, unrolled into one fused kernel.
+    from ..fields import limbs_jnp as LJ
+
+    mlanes = 1 << 20
+    mchain = 8  # dependent chain, one fused kernel: ~pure ALU (HBM share of
+    # a call is ~190 MB vs ~50 ms of multiply work). An independent-products
+    # variant measured LOWER (register spills), so this is the faster and
+    # fairer reference rate.
+
+    @jax.jit
+    def mont_kernel(x, y):
+        for _ in range(mchain):
+            x = LJ.mont_mul(x, y)
+        return x
+
+    rng = np.random.default_rng(0)
+    xd = jnp.asarray(rng.integers(0, 1 << 14, size=(16, mlanes), dtype=np.uint32))
+    yd = jnp.asarray(rng.integers(0, 1 << 14, size=(16, mlanes), dtype=np.uint32))
+    np.asarray(mont_kernel(xd, yd)[:, :1])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        mout = mont_kernel(xd, yd)
+    mout.block_until_ready()
+    np.asarray(mout[:, :1])
+    dt = (time.perf_counter() - t0) / 4
+    mont_per_s = mchain * mlanes / dt
 
     @jax.jit
     def copy_kernel(x):
@@ -110,7 +143,11 @@ def measure_roofline(force: bool = False) -> dict:
     dt = (time.perf_counter() - t0) / 4
     hbm_bytes_per_s = 2.0 * big.size * 4 / dt  # read + write
 
-    result = {"u32_ops_per_s": alu_ops_per_s, "hbm_bytes_per_s": hbm_bytes_per_s}
+    result = {
+        "u32_ops_per_s": alu_ops_per_s,
+        "hbm_bytes_per_s": hbm_bytes_per_s,
+        "mont_muls_per_s": mont_per_s,
+    }
     cache[backend] = result
     try:
         json.dump(cache, open(_CACHE_PATH, "w"), indent=1)
@@ -120,11 +157,15 @@ def measure_roofline(force: bool = False) -> dict:
 
 
 def sol_seconds(counts: dict, roofline: dict) -> dict:
-    alu_s = counts["u32_ops"] / roofline["u32_ops_per_s"]
+    """SOL = the time back-to-back measured-rate Montgomery multiplies (the
+    primary, directly-measured roofline) or the HBM stream — whichever
+    binds. The synthetic u32-op rate is kept for reference only: generic
+    mul+add chains and the real CIOS op mix schedule very differently."""
+    mont_s = counts["mont_muls"] / roofline["mont_muls_per_s"]
     hbm_s = counts["hbm_bytes"] / roofline["hbm_bytes_per_s"]
     return {
-        "alu_bound_s": alu_s,
+        "mont_bound_s": mont_s,
         "hbm_bound_s": hbm_s,
-        "sol_s": max(alu_s, hbm_s),
-        "bound": "alu" if alu_s >= hbm_s else "hbm",
+        "sol_s": max(mont_s, hbm_s),
+        "bound": "mont" if mont_s >= hbm_s else "hbm",
     }
