@@ -115,6 +115,20 @@ class Blake2b512Rng:
     def next_u64(self) -> int:
         return int.from_bytes(self.fill_bytes(8), "little")
 
+    def next_u64s(self, k: int) -> list[int]:
+        """`k` consecutive `next_u64` draws, inlined (each is a separate
+        sub-block `fill_bytes(8)` — they cannot be merged into one 64-byte
+        squeeze without changing the byte stream). This is the verifier's
+        hot path: `fr_rand` burns 4 draws per attempt, and the function-call
+        and bytearray overhead of `next_u64`->`fill_bytes` is ~70% of it."""
+        h = self._h
+        out = []
+        for _ in range(k):
+            block = h.copy().digest()
+            out.append(int.from_bytes(block[:8], "little"))
+            h.update(block)
+        return out
+
     # --- device interop -------------------------------------------------
     def state_tuple(self):
         """(h, t, buf) of the running hasher, for lifting onto the device."""
@@ -128,8 +142,12 @@ class Blake2b512Rng:
 def fr_rand(rng) -> int:
     """Sample a uniform Fr exactly as `ark_ff::UniformRand` does; returns the
     canonical residue as a Python int."""
+    draw = getattr(rng, "next_u64s", None)
+    if draw is None:  # duck-typed external FeedableRNG without the fast path
+        def draw(k, _r=rng):
+            return [_r.next_u64() for _ in range(k)]
     while True:
-        limbs = [rng.next_u64() for _ in range(4)]
+        limbs = draw(4)
         limbs[3] &= (1 << 63) - 1  # shave 256 - 255 = 1 bit
         mont = limbs[0] | (limbs[1] << 64) | (limbs[2] << 128) | (limbs[3] << 192)
         if mont < P:
