@@ -2,18 +2,27 @@
 """Virtual-mesh scaling measurement for the chained sharded prover.
 
 Runs the same MLSumcheck instance through `ChainedShardedProver` on 1/2/4/8
-virtual devices (`xla_force_host_platform_device_count` CPU mesh) and reports
-wall-clock + parallel efficiency T1/(N*TN).
+virtual devices (`xla_force_host_platform_device_count` CPU mesh).
 
 CAVEAT (report alongside the numbers): the virtual mesh multiplexes ONE
-physical CPU core, so TN cannot show real speedup — the value of this
-measurement is (a) the multi-device program compiles and executes the real
-collective schedule (one psum per round, one all_gather at the tail), and
-(b) the per-round overhead added by sharding is visible as TN/T1 staying
-near 1 instead of exploding. Real ICI scaling needs a pod slice; the
-per-round communication is one (20, d+1) u32 allreduce (~320 bytes), which
-at ICI latency (~1-2 us/hop) is negligible against the >= ms of fold work
-per round at production sizes (see RESULTS.md SOL table).
+physical CPU core — the N shards' work runs serially on the same silicon, so
+wall-clock CANNOT drop with N and `T1/(N*TN)` is not measurable here. What
+the virtual mesh DOES measure:
+
+- the multi-device program compiles and executes the real collective
+  schedule (one psum per round inside shard_map, device transcript
+  replicated), with bit-identical proofs across device counts;
+- **sharding overhead** = TN/T1 - 1: everything sharding adds on top of the
+  single-device program (collective permutes, sliced layouts, smaller
+  fusions). On real chips, parallel efficiency ~= 1 / (1 + overhead) as
+  long as the per-round psum is latency-negligible, because shard-local
+  fold/evaluate work is an exact 1/N split of the single-device work.
+
+Real-ICI model for the per-round collective: one (digits, d+1) u32
+allreduce (~320 B) per round, ~1-2 us/hop on ICI vs >= ms of fold work per
+round at production sizes (see RESULTS.md SOL table) — sub-0.1% of a
+round. The measured overhead below is therefore the expected efficiency
+loss on a pod slice.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
      python tools/scaling_bench.py [nv]
@@ -51,15 +60,18 @@ from sumcheck_tpu.parallel.chained import ChainedShardedProver  # noqa: E402
 
 
 def main() -> None:
-    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     rnd = random.Random(17)
     poly = ListOfProductsOfPolynomials(nv)
     mles = [DenseMLE.rand(nv, rnd) for _ in range(3)]
     poly.add_product(mles, Fr(rnd.randrange(P)))
     poly.add_product([mles[0], DenseMLE.rand(nv, rnd)], Fr(rnd.randrange(P)))
 
-    results = {"nv": nv, "caveat": "virtual CPU mesh (1 physical core): "
-               "validates the collective schedule and sharding overhead, not real ICI speedup"}
+    results = {"nv": nv, "caveat": "virtual CPU mesh (1 physical core): N shards run "
+               "serially on the same silicon, so wall-clock cannot drop with N; the "
+               "measurement is the collective schedule (bit-identical proofs) and the "
+               "sharding overhead TN/T1-1, whose inverse bounds real-ICI efficiency "
+               "(the per-round psum is ~320B vs ms of shard-local work)"}
     base = None
     ref_bytes = None
     rows = []
@@ -81,7 +93,10 @@ def main() -> None:
             "devices": ndev,
             "prove_s": round(best, 5),
             "vs_1dev": round(base / best, 3),
-            "efficiency": round(base / (ndev * best), 3),
+            "sharding_overhead": round(best / base - 1, 3),
+            # capped at 1: negative overhead (sharded programs compiling into
+            # better per-shard code) cannot exceed perfect scaling on real chips
+            "implied_real_mesh_efficiency": round(min(1.0, base / best), 3),
         })
         print(rows[-1])
     results["rows"] = rows
