@@ -67,8 +67,14 @@ def _use_pallas_chain() -> bool:
 def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
                   block: int, variant: str, donate: bool,
                   axis_name: str | None = None, jit: bool = True):
+    from ..utils.config import get_config
+
+    mxu = get_config().use_mxu_fold()
+    # the MXU fold lives in the jnp body (XLA schedules matmul + carries);
+    # the Pallas body keeps its own in-kernel VPU fold
     return _generic_step_impl(H, num_slots, products, degree, block, variant,
-                              donate, axis_name, jit, _use_pallas_chain())
+                              donate, axis_name, jit,
+                              _use_pallas_chain() and not mxu, mxu)
 
 
 # kept for the shard_map wrappers that reach the unjitted builder directly
@@ -81,7 +87,7 @@ _generic_step.__wrapped__ = (
 def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
                        block: int, variant: str, donate: bool,
                        axis_name: str | None = None, jit: bool = True,
-                       pallas: bool = False):
+                       pallas: bool = False, mxu_fold: bool = False):
     """Build one round-program variant.
 
     fn(lo, hi, A2, r, h, t, buf, blen) ->
@@ -127,6 +133,12 @@ def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
         """(U,16,B) slot-leading pair halves -> folded (16,U,B) digit-leading."""
         Ld = jnp.moveaxis(Lq, 0, 1)
         Hd = jnp.moveaxis(Hq, 0, 1)
+        if mxu_fold:
+            from ..ops.mxu_mul import mont_mul_scalar_mxu
+
+            # the challenge is ONE shared scalar: the multiply runs on the
+            # MXU as a banded-matrix product (bit-identical to CIOS)
+            return LJ.add(Ld, mont_mul_scalar_mxu(LJ.sub(Hd, Ld), r_col3[:, 0, 0]))
         return LJ.add(Ld, LJ.mont_mul(LJ.sub(Hd, Ld), r_col3))
 
     def pair_sums(E, O, idx_mat):
@@ -274,8 +286,12 @@ _TAIL_BLOCK = 512  # narrow-chain block for rounds with extent < generic_block
 def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
                 block: int, donate: bool,
                 axis_name: str | None = None, jit: bool = True):
+    from ..utils.config import get_config
+
+    mxu = get_config().use_mxu_fold()
     return _chain_step_impl(H, num_slots, products, degree, block, donate,
-                            axis_name, jit, _use_pallas_chain())
+                            axis_name, jit, _use_pallas_chain() and not mxu,
+                            mxu)
 
 
 _chain_step.__wrapped__ = (
@@ -287,7 +303,7 @@ _chain_step.__wrapped__ = (
 def _chain_step_impl(H: int, num_slots: int, products: tuple, degree: int,
                      block: int, donate: bool,
                      axis_name: str | None = None, jit: bool = True,
-                     pallas: bool = False):
+                     pallas: bool = False, mxu_fold: bool = False):
     """Multi-round chain program: run a DYNAMIC number of consecutive fold
     rounds inside one compiled program (the masked `fold_block` body covers
     block-sized and sub-block extents alike).
@@ -310,6 +326,7 @@ def _chain_step_impl(H: int, num_slots: int, products: tuple, degree: int,
     inner = _generic_step_impl(
         H, num_slots, products, degree, block, "fold_block",
         False, axis_name=axis_name, jit=False, pallas=pallas,
+        mxu_fold=mxu_fold,
     )
     d1 = degree + 1
     _u32 = jnp.uint32

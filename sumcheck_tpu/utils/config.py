@@ -37,6 +37,13 @@ class Config:
     # (the nv=20 family) on real TPU, off elsewhere; an integer = that
     # power-of-two lane count; "off" disables.
     generic_pad: str = os.environ.get("SUMCHECK_TPU_GENERIC_PAD", "auto")
+    # fold-by-challenge multiplies on the MXU (ops/mxu_mul.py): banded-matmul
+    # Montgomery multiply by the shared round challenge, bit-identical to the
+    # VPU CIOS path. "on" | "off" | "auto" (backend-tuned default).
+    mxu_fold: str = os.environ.get("SUMCHECK_TPU_MXU_FOLD", "auto")
+
+    def use_mxu_fold(self) -> bool:
+        return self.mxu_fold == "on"
 
     def generic_pad_lanes(self) -> int:
         if self.generic_pad == "off":

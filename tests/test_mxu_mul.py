@@ -1,0 +1,92 @@
+"""MXU banded-matmul Montgomery multiply: bit-identity vs the CIOS path.
+
+`ops/mxu_mul.mont_mul_scalar_mxu` moves multiply-by-shared-scalar onto the
+systolic array (bf16 8-bit-digit convolutions, f32-exact accumulation); these
+tests pin (a) the kernel against the uint64 NumPy reference model across
+random and edge operands, and (b) a full chained prove with the MXU fold
+forced on against the host-path proof bytes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sumcheck_tpu import Blake2b512Rng, MLSumcheck
+from sumcheck_tpu.fields.fr import NUM_DIGITS, P, R_INV
+from sumcheck_tpu.ml_sumcheck import serialize_proof
+from sumcheck_tpu.ops.mxu_mul import mont_mul_scalar_mxu
+from sumcheck_tpu.protocol.generic_prover import prove_generic
+from sumcheck_tpu.utils.config import get_config
+
+from conftest import random_list_of_products
+
+
+def _digits(v: int) -> list[int]:
+    return [(v >> (16 * j)) & 0xFFFF for j in range(NUM_DIGITS)]
+
+
+def _col(vals) -> np.ndarray:
+    return np.array([_digits(v) for v in vals], np.uint32).T.copy()
+
+
+def _ints(arr: np.ndarray) -> list[int]:
+    return [
+        sum(int(arr[j, i]) << (16 * j) for j in range(NUM_DIGITS))
+        for i in range(arr.shape[1])
+    ]
+
+
+def test_kernel_matches_reference():
+    prnd = random.Random(7)
+    vals = [prnd.randrange(P) for _ in range(300)]
+    vals += [0, 1, 2, P - 1, P - 2, (1 << 255) % P, (1 << 128) % P]
+    a = jnp.asarray(_col(vals))
+    fn = jax.jit(mont_mul_scalar_mxu)
+    for cv in [prnd.randrange(P), 0, 1, P - 1, (1 << 240) % P]:
+        c = jnp.asarray(np.array(_digits(cv), np.uint32))
+        got = _ints(np.asarray(fn(a, c)))
+        want = [(v * cv * R_INV) % P for v in vals]
+        assert got == want, f"mismatch for c={cv:#x}"
+
+
+def test_kernel_multidim_shape():
+    """(16, U, B) tables — the fold path's actual operand shape."""
+    prnd = random.Random(9)
+    vals = [prnd.randrange(P) for _ in range(3 * 8)]
+    a = jnp.asarray(_col(vals).reshape(NUM_DIGITS, 3, 8))
+    cv = prnd.randrange(P)
+    c = jnp.asarray(np.array(_digits(cv), np.uint32))
+    out = np.asarray(jax.jit(mont_mul_scalar_mxu)(a, c)).reshape(NUM_DIGITS, 24)
+    assert _ints(out) == [(v * cv * R_INV) % P for v in vals]
+
+
+@pytest.fixture
+def _mxu_fold_on():
+    cfg = get_config()
+    saved = cfg.mxu_fold
+    cfg.mxu_fold = "on"
+    yield
+    cfg.mxu_fold = saved
+
+
+def test_chained_prove_with_mxu_fold_matches_host(rnd, _mxu_fold_on):
+    """Full generic-chain prove with the MXU fold: proof bytes must equal the
+    host-path proof (same instance, same transcript)."""
+    poly, _ = random_list_of_products(6, (2, 4), 2, rnd)
+    cfg = get_config()
+    saved = cfg.engine
+    cfg.engine = "host"
+    try:
+        href, _hstate = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
+    finally:
+        cfg.engine = saved
+
+    rng = Blake2b512Rng.setup()
+    rng.feed(poly.info())
+    proof, _state = prove_generic(rng, poly, block=16)
+    assert serialize_proof(proof) == serialize_proof(href)
