@@ -30,6 +30,10 @@ from ..fields import limbs_jnp as LJ
 from ..fields import limbs_np as L
 from ..fields.fr import Fr, NUM_DIGITS
 
+# shared-scalar multiplies at or above this lane count take the MXU path
+# when `mxu_fold` is on (tiny tables aren't worth the matmul dispatch)
+MXU_MIN_LANES = 1 << 11
+
 
 def _points_arrays(points: list[Fr]):
     """Challenges -> stacked (k, 16, 1) Montgomery columns for r and 1-r."""
@@ -53,11 +57,25 @@ def _weight_fold(indices, values, r_pts, omr_pts, k: int):
 def _eq_table(r_pts, omr_pts, k: int):
     """(16, 2^k) eq table: eq[j] = prod_i (bit_i(j) ? r_i : 1-r_i), built by
     k doublings (index convention: bit i of j = variable i, low bits first).
-    r_pts/omr_pts: indexable (k, 16, 1) Montgomery digit columns."""
+    r_pts/omr_pts: indexable (k, 16, 1) Montgomery digit columns.
+
+    Each doubling multiplies the WHOLE current table by two shared scalars
+    (r_i and 1-r_i) — exactly the MXU banded-matmul shape (`ops/mxu_mul`);
+    the wide late steps (which carry ~all the work) take that path when
+    enabled, the narrow early steps stay on the VPU CIOS kernel."""
+    from ..utils.config import get_config
+
+    use_mxu = get_config().use_mxu_fold()
     eq = jnp.asarray(L.mont_scalar(1))  # (16, 1)
     for i in range(k):
-        lo = LJ.mont_mul(eq, omr_pts[i])
-        hi = LJ.mont_mul(eq, r_pts[i])
+        if use_mxu and eq.shape[1] >= MXU_MIN_LANES:
+            from .mxu_mul import mont_mul_scalar_mxu
+
+            lo = mont_mul_scalar_mxu(eq, omr_pts[i][:, 0])
+            hi = mont_mul_scalar_mxu(eq, r_pts[i][:, 0])
+        else:
+            lo = LJ.mont_mul(eq, omr_pts[i])
+            hi = LJ.mont_mul(eq, r_pts[i])
         eq = jnp.concatenate([lo, hi], axis=1)  # (16, 2^(i+1))
     return eq
 
@@ -293,7 +311,14 @@ def _compiled_prep2(dim: int):
 
     def fn(f1gu_nat, f3_bitrev, f2u):
         n = 1 << dim
-        f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
+        from ..utils.config import get_config
+
+        if get_config().use_mxu_fold() and n >= MXU_MIN_LANES:
+            from .mxu_mul import mont_mul_scalar_mxu
+
+            f3f2u = mont_mul_scalar_mxu(f3_bitrev, f2u)  # shared-scalar MXU
+        else:
+            f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
         s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 

@@ -90,3 +90,21 @@ def test_chained_prove_with_mxu_fold_matches_host(rnd, _mxu_fold_on):
     rng.feed(poly.info())
     proof, _state = prove_generic(rng, poly, block=16)
     assert serialize_proof(proof) == serialize_proof(href)
+
+
+def test_gkr_eq_table_mxu_matches_cios(rnd, _mxu_fold_on, monkeypatch):
+    """The eq-table doublings and f2(u)-scaling must be bit-identical on the
+    MXU path (threshold lowered so tiny test tables exercise it)."""
+    from sumcheck_tpu.fields.fr import Fr
+    from sumcheck_tpu.ops import gkr_init as GI
+
+    monkeypatch.setattr(GI, "MXU_MIN_LANES", 1)
+    pts = [Fr(rnd.randrange(P)) for _ in range(5)]
+    r_pts, omr_pts = GI._points_arrays(pts)
+    got = np.asarray(GI._eq_table(jnp.asarray(r_pts), jnp.asarray(omr_pts), 5))
+
+    cfg = get_config()
+    cfg.mxu_fold = "off"
+    want = np.asarray(GI._eq_table(jnp.asarray(r_pts), jnp.asarray(omr_pts), 5))
+    cfg.mxu_fold = "on"
+    assert (got == want).all()
