@@ -186,9 +186,19 @@ class ChainedShardedProver:
             num_slots, NUM_DIGITS, H
         )
         sharding = NamedSharding(self.mesh, Pspec(None, None, "x"))
+
+        # make_array_from_callback (not device_put): each process materializes
+        # only its ADDRESSABLE shards, so the same code path serves a mesh
+        # spanning multiple hosts (BASELINE config 5 — jax.distributed pods,
+        # where device_put of a host-global array cannot address remote chips)
+        def _mk(arr):
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+
         return (
-            jax.device_put(lo, sharding),
-            jax.device_put(hi, sharding),
+            _mk(lo),
+            _mk(hi),
             products,
             polynomial.max_multiplicands,
             num_slots,
