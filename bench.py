@@ -191,13 +191,18 @@ def bench_sweep(reps: int, rng):
             "pct_sol": round(100 * sol["sol_s"] / prove_s, 2),
         })
         print(f"# {rows[-1]}", file=sys.stderr)
+    from sumcheck_tpu.utils.sol import count_gkr_prove_ops, sol_seconds
+
     for nv in range(lo, hi):
         prove_s, verify_s = bench_gkr(nv, reps, rng)
+        sol = sol_seconds(count_gkr_prove_ops(nv, 1 << nv), roofline)
         rows.append({
             "proto": "gkr", "nv": nv,
             "prove_s": round(prove_s, 6), "verify_s": round(verify_s, 6),
             "vs_baseline_prove": round(baseline_prove(BASELINE_GKR_PROVE_S, nv) / prove_s, 3),
             "vs_baseline_verify": round(baseline_gkr_verify(nv) / verify_s, 3),
+            "sol_s": round(sol["sol_s"], 6), "sol_bound": sol["bound"],
+            "pct_sol": round(100 * sol["sol_s"] / prove_s, 2),
         })
         print(f"# {rows[-1]}", file=sys.stderr)
     out = {"roofline": roofline, "rows": rows}

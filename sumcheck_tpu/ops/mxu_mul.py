@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.fr import DIGIT_MASK, NINV_FULL, NUM_DIGITS, P, P_DIGITS
+from ..fields.fr import NINV_FULL, NUM_DIGITS, P
 
 _U32 = jnp.uint32
 _D8 = 2 * NUM_DIGITS  # 32 8-bit digits per element

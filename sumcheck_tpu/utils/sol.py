@@ -55,6 +55,33 @@ def count_prove_ops(nv: int, num_slots: int, num_products: int,
     }
 
 
+def count_gkr_prove_ops(nv: int, nnz: int) -> dict:
+    """Analytic totals for one chained GKR prove (dim = nv).
+
+    Mont-multiply census of the device path (`gkr_round_sumcheck._prove_chained`):
+    - phase-1 init (`ops/gkr_init._compiled_phase1`): eq-table build by
+      doublings ~2*2^nv, weight fold 1*nnz, f3-gather multiply 1*nnz;
+    - phase-2 init (`_compiled_phase2_digits`): eq build ~2*2^nv + 1*nnz;
+    - prep2 f2(u) scaling: 1*2^nv;
+    - two dim-round chains, U=2 slots, 1 product x 2 multiplicands, degree 2:
+      per round `fold 2*2*A2 + eval 3*A2` with `sum A2 ~ 2^nv` per chain
+      (round 0 folds nothing) => ~2 * (7 - 2) * 2^nv.
+    HBM: the chains stream the pair ~6x extent/round (as in `count_prove_ops`)
+    plus the two init pipelines' dominant streams (sorted gather + 32-row
+    8-bit cumsum + boundary gathers ~ 6 passes of 128 B/entry each).
+    """
+    n = 1 << nv
+    mont = 3 * nnz + (2 + 2 + 1 + 10) * n
+    chain_bytes = 2 * (6 * 2 * n * 2 * LANE_BYTES)  # 2 chains, U=2 slots
+    init_bytes = 2 * (6 * 128 * nnz)
+    return {
+        "mont_muls": mont,
+        "u32_muls": mont * MULS_PER_MONT,
+        "u32_ops": mont * OPS_PER_MONT,
+        "hbm_bytes": chain_bytes + init_bytes,
+    }
+
+
 _CACHE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", ".sol_roofline.json")
 
 
