@@ -53,7 +53,9 @@ def deserialize_proof(data: bytes) -> list[ProverMsg]:
             off += MODULUS_BYTES
         proof.append(ProverMsg(evals))
     if off != len(data):
-        raise ValueError("trailing bytes in proof encoding")
+        from .utils.errors import SerializationError
+
+        raise SerializationError("trailing bytes in proof encoding")
     return proof
 
 

@@ -187,3 +187,27 @@ def test_device_engine_matches_host(rnd):
     finally:
         cfg.engine = old
     assert all(a == b for a, b in zip(p_host, p_dev))
+
+
+def test_proof_serde_round_trip(rnd):
+    """`deserialize_proof(serialize_proof(p))` reproduces the proof, and the
+    deserialized bytes re-verify; malformed encodings raise
+    `SerializationError` (reference: `Proof` derives CanonicalSerialize +
+    CanonicalDeserialize, `ml_sumcheck/mod.rs:22`)."""
+    import pytest
+
+    from sumcheck_tpu.ml_sumcheck import deserialize_proof, serialize_proof
+    from sumcheck_tpu.utils.errors import SerializationError
+
+    poly, s = random_list_of_products(4, (2, 4), 2, rnd)
+    proof = MLSumcheck.prove(poly)
+    blob = serialize_proof(proof)
+    back = deserialize_proof(blob)
+    assert serialize_proof(back) == blob
+    sub = MLSumcheck.verify(poly.info(), s, back)
+    assert poly.evaluate(sub.point) == sub.expected_evaluation
+    with pytest.raises(SerializationError):
+        deserialize_proof(blob + b"\x00")
+    with pytest.raises(SerializationError):
+        # non-canonical Fr encoding (>= p)
+        deserialize_proof(blob[:8] + b"\xff" * (len(blob) - 8))
