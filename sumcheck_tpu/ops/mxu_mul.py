@@ -95,9 +95,19 @@ def mont_mul_scalar_mxu(a, c):
     products; bit-identical to `limbs_jnp.mont_mul(a, c_column)`."""
     shape = a.shape[1:]
     n = int(np.prod(shape)) if shape else 1
-    a8 = _to8(a.reshape(NUM_DIGITS, n)).astype(jnp.bfloat16)
     c8 = _to8(c.reshape(NUM_DIGITS, 1))
     cband = _traced_band(c8[:, 0])
+    return mont_mul_band(a.reshape(NUM_DIGITS, n), cband).reshape(
+        (NUM_DIGITS,) + shape
+    )
+
+
+def mont_mul_band(a, cband):
+    """Core MXU Montgomery multiply: a (16, N) strict by the prebuilt (63, 32)
+    bf16 band of the shared scalar (`scalar_band`). Pure jnp ops — callable
+    from XLA or from inside a Pallas kernel body (the dots hit the MXU in
+    both; Mosaic pads the 32/63-sized dims to its tiles)."""
+    a8 = _to8(a).astype(jnp.bfloat16)
 
     # T = a * c: (63, N) wide digits < 32*255^2 < 2^21
     T = _conv(cband, a8)
@@ -124,9 +134,13 @@ def mont_mul_scalar_mxu(a, c):
 
     from ..fields import limbs_jnp as LJ
 
-    return jnp.stack(LJ._cond_sub_p([res[i] for i in range(NUM_DIGITS)])).reshape(
-        (NUM_DIGITS,) + shape
-    )
+    return jnp.stack(LJ._cond_sub_p([res[i] for i in range(NUM_DIGITS)]))
+
+
+def scalar_band(c):
+    """(16,) strict scalar digits -> its (63, 32) bf16 convolution band
+    (host-buildable per round; tiny — pass it into kernels as an operand)."""
+    return _traced_band(_to8(c.reshape(NUM_DIGITS, 1))[:, 0])
 
 
 def _traced_band(c8_col):

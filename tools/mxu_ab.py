@@ -48,6 +48,7 @@ def main() -> None:
         poly.add_product(mles, Fr(int(rng.integers(1, 1 << 62))))
 
     cfg = get_config()
+    cfg.engine = "device"  # force the chained device path at every size
     variants = [
         ("pallas_vpu", {"pallas": "auto", "mxu_fold": "off"}),
         ("jnp_vpu", {"pallas": "off", "mxu_fold": "off"}),
