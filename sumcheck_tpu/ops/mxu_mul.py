@@ -102,11 +102,17 @@ def mont_mul_scalar_mxu(a, c):
     )
 
 
-def mont_mul_band(a, cband):
+def mont_mul_band(a, cband, mu_band=None, p_band=None):
     """Core MXU Montgomery multiply: a (16, N) strict by the prebuilt (63, 32)
     bf16 band of the shared scalar (`scalar_band`). Pure jnp ops — callable
     from XLA or from inside a Pallas kernel body (the dots hit the MXU in
-    both; Mosaic pads the 32/63-sized dims to its tiles)."""
+    both; Mosaic pads the 32/63-sized dims to its tiles). Pallas kernels must
+    pass the constant mu/p reduction bands as operands (kernels may not
+    capture array constants); XLA callers leave them None."""
+    if mu_band is None:
+        mu_band = jnp.asarray(_MU_BAND)
+    if p_band is None:
+        p_band = jnp.asarray(_P_BAND)
     a8 = _to8(a).astype(jnp.bfloat16)
 
     # T = a * c: (63, N) wide digits < 32*255^2 < 2^21
@@ -116,10 +122,10 @@ def mont_mul_band(a, cband):
     xlo_rows, c32 = _chain8([T[i] for i in range(_D8)], keep_carry=True)
     xlo8 = jnp.stack(xlo_rows).astype(jnp.bfloat16)
     # m = xlo * mu mod 2^256 (truncated band), normalized mod R
-    m_rows, _ = _chain8(list(_conv(jnp.asarray(_MU_BAND), xlo8)), keep_carry=False)
+    m_rows, _ = _chain8(list(_conv(mu_band, xlo8)), keep_carry=False)
     m8 = jnp.stack(m_rows).astype(jnp.bfloat16)
     # y = T + m*p == 0 mod 2^256; result = y >> 256 < 2p
-    mp = _conv(jnp.asarray(_P_BAND), m8)
+    mp = _conv(p_band, m8)
     # low half: strict digits are all zero by construction — only the carry
     # out of digit 31 survives (xlo strict + mp relaxed: cells < 2^22)
     carry = jnp.zeros_like(T[0])

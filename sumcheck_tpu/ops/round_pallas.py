@@ -199,6 +199,36 @@ def _kernel_chain_fold(products, degree, num_slots, r_ref, mask_ref,
     part_ref[0] = _block_sums(new_lo, new_hi, None, products, degree)
 
 
+def _kernel_chain_fold_mxu(products, degree, num_slots, band_ref, mu_ref,
+                           p_ref, mask_ref,
+                           lo0_ref, lo1_ref, hi0_ref, hi1_ref,
+                           flo_ref, fhi_ref, part_ref):
+    """`_kernel_chain_fold` with the fold multiply on the MXU: the shared
+    challenge arrives as its prebuilt (63, 32) bf16 convolution band
+    (`ops/mxu_mul.scalar_band`), the constant mu/p reduction bands ride along
+    as operands (Pallas kernels may not capture array constants), and each
+    slot's fold is three in-kernel banded dots + carry normalization — same
+    single-HBM-pass structure, the VPU keeps only carries and the evaluation
+    ladder. Bit-identical."""
+    from .mxu_mul import mont_mul_band
+
+    band = band_ref[:]  # (63, 32) bf16
+    mu_b = mu_ref[:]  # (32, 32) bf16
+    p_b = p_ref[:]  # (63, 32) bf16
+    mask = mask_ref[:]
+    new_lo, new_hi = [], []
+    for u in range(num_slots):
+        l0, l1 = lo0_ref[u], lo1_ref[u]
+        h0, h1 = hi0_ref[u], hi1_ref[u]
+        nl = LJ.add(l0, mont_mul_band(LJ.sub(h0, l0), band, mu_b, p_b)) * mask
+        nh = LJ.add(l1, mont_mul_band(LJ.sub(h1, l1), band, mu_b, p_b)) * mask
+        flo_ref[u] = nl
+        fhi_ref[u] = nh
+        new_lo.append(nl)
+        new_hi.append(nh)
+    part_ref[0] = _block_sums(new_lo, new_hi, None, products, degree)
+
+
 def _kernel_chain_nofold(products, degree, num_slots, mask_ref,
                          lo_ref, hi_ref, part_ref):
     mask = mask_ref[:]
@@ -209,11 +239,13 @@ def _kernel_chain_nofold(products, degree, num_slots, mask_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build_chain(B: int, num_slots: int, products: tuple, degree: int,
-                 do_fold: bool, bt: int, interpret: bool):
+                 do_fold: bool, bt: int, interpret: bool, mxu: bool = False):
     """Fused masked block step for the shape-generic chain: processes one
     (U, 16, B) block as a grid of B/bt tiles. Returns
     fn(r_blk, mask, *stripes) -> pallas outputs (coefficients are always
-    pre-folded into the tables on this path)."""
+    pre-folded into the tables on this path). With `mxu`, the fold variant
+    takes the challenge's (63, 32) bf16 band instead of the lane-replicated
+    digit block, and its multiplies run on the in-kernel MXU."""
     import jax.experimental.pallas as pl
 
     U1 = num_slots
@@ -226,17 +258,42 @@ def _build_chain(B: int, num_slots: int, products: tuple, degree: int,
     part_spec = pl.BlockSpec((1, d1, NUM_DIGITS), lambda j: (j, 0, 0))
     part_shape = jax.ShapeDtypeStruct((nblk, d1, NUM_DIGITS), jnp.uint32)
     if do_fold:
+        fold_out_specs = [tbl, tbl, part_spec]
+        fold_out_shape = [
+            jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
+            jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
+            part_shape,
+        ]
+        if mxu:
+            from .mxu_mul import _MU_BAND, _P_BAND
+
+            kernel = functools.partial(_kernel_chain_fold_mxu, products, degree, U1)
+            band_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+                (rows, 32), lambda j: (0, 0)
+            )
+            call = pl.pallas_call(
+                kernel,
+                grid=(nblk,),
+                in_specs=[band_spec(63), band_spec(32), band_spec(63),
+                          mask_spec, tbl, tbl, tbl, tbl],
+                out_specs=fold_out_specs,
+                out_shape=fold_out_shape,
+                interpret=interpret,
+            )
+            mu_b = jnp.asarray(_MU_BAND)
+            p_b = jnp.asarray(_P_BAND)
+
+            def run(r_band, mask, *stripes):
+                return call(r_band, mu_b, p_b, mask, *stripes)
+
+            return run
         kernel = functools.partial(_kernel_chain_fold, products, degree, U1)
         return pl.pallas_call(
             kernel,
             grid=(nblk,),
             in_specs=[r_spec, mask_spec, tbl, tbl, tbl, tbl],
-            out_specs=[tbl, tbl, part_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
-                jax.ShapeDtypeStruct((U1, NUM_DIGITS, B), jnp.uint32),
-                part_shape,
-            ],
+            out_specs=fold_out_specs,
+            out_shape=fold_out_shape,
             interpret=interpret,
         )
     kernel = functools.partial(_kernel_chain_nofold, products, degree, U1)

@@ -69,12 +69,13 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
                   axis_name: str | None = None, jit: bool = True):
     from ..utils.config import get_config
 
-    mxu = get_config().use_mxu_fold()
-    # the MXU fold lives in the jnp body (XLA schedules matmul + carries);
-    # the Pallas body keeps its own in-kernel VPU fold
+    mode = get_config().mxu_mode()
+    # "xla": MXU fold in the jnp body (XLA schedules matmul + carries);
+    # "kernel": in-Pallas MXU fold (single HBM pass); "off": VPU CIOS
     return _generic_step_impl(H, num_slots, products, degree, block, variant,
                               donate, axis_name, jit,
-                              _use_pallas_chain() and not mxu, mxu)
+                              _use_pallas_chain() and mode != "xla",
+                              mode == "xla", mode == "kernel")
 
 
 # kept for the shard_map wrappers that reach the unjitted builder directly
@@ -87,7 +88,8 @@ _generic_step.__wrapped__ = (
 def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
                        block: int, variant: str, donate: bool,
                        axis_name: str | None = None, jit: bool = True,
-                       pallas: bool = False, mxu_fold: bool = False):
+                       pallas: bool = False, mxu_fold: bool = False,
+                       mxu_kernel: bool = False):
     """Build one round-program variant.
 
     fn(lo, hi, A2, r, h, t, buf, blen) ->
@@ -203,7 +205,8 @@ def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
 
         interp = get_config().pallas_interpret  # off-TPU test path only
         bt = min(B, 1024)
-        fold_call = _build_chain(B, U, products, degree, True, bt, interp)
+        fold_call = _build_chain(B, U, products, degree, True, bt, interp,
+                                 mxu=mxu_kernel)
         nofold_call = _build_chain(B, U, products, degree, False, bt, interp)
 
         def lane_mask2(off, A2):
@@ -222,7 +225,13 @@ def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
             return jax.lax.fori_loop(0, nb, body, (lo, hi, acc0))
 
         def fold_block_pl(lo, hi, A2, r_col, acc0, nb):
-            r_blk = jnp.broadcast_to(r_col[:, 0], (NUM_DIGITS, bt))
+            if mxu_kernel:
+                # challenge -> its (63, 32) bf16 band, once per round
+                from ..ops.mxu_mul import scalar_band
+
+                r_blk = scalar_band(r_col[:, 0, 0])
+            else:
+                r_blk = jnp.broadcast_to(r_col[:, 0], (NUM_DIGITS, bt))
 
             def body(b, carry):
                 lo_, hi_, acc = carry
@@ -288,10 +297,11 @@ def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
                 axis_name: str | None = None, jit: bool = True):
     from ..utils.config import get_config
 
-    mxu = get_config().use_mxu_fold()
+    mode = get_config().mxu_mode()
     return _chain_step_impl(H, num_slots, products, degree, block, donate,
-                            axis_name, jit, _use_pallas_chain() and not mxu,
-                            mxu)
+                            axis_name, jit,
+                            _use_pallas_chain() and mode != "xla",
+                            mode == "xla", mode == "kernel")
 
 
 _chain_step.__wrapped__ = (
@@ -303,7 +313,8 @@ _chain_step.__wrapped__ = (
 def _chain_step_impl(H: int, num_slots: int, products: tuple, degree: int,
                      block: int, donate: bool,
                      axis_name: str | None = None, jit: bool = True,
-                     pallas: bool = False, mxu_fold: bool = False):
+                     pallas: bool = False, mxu_fold: bool = False,
+                     mxu_kernel: bool = False):
     """Multi-round chain program: run a DYNAMIC number of consecutive fold
     rounds inside one compiled program (the masked `fold_block` body covers
     block-sized and sub-block extents alike).
@@ -326,7 +337,7 @@ def _chain_step_impl(H: int, num_slots: int, products: tuple, degree: int,
     inner = _generic_step_impl(
         H, num_slots, products, degree, block, "fold_block",
         False, axis_name=axis_name, jit=False, pallas=pallas,
-        mxu_fold=mxu_fold,
+        mxu_fold=mxu_fold, mxu_kernel=mxu_kernel,
     )
     d1 = degree + 1
     _u32 = jnp.uint32

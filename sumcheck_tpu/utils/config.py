@@ -39,11 +39,20 @@ class Config:
     generic_pad: str = os.environ.get("SUMCHECK_TPU_GENERIC_PAD", "auto")
     # fold-by-challenge multiplies on the MXU (ops/mxu_mul.py): banded-matmul
     # Montgomery multiply by the shared round challenge, bit-identical to the
-    # VPU CIOS path. "on" | "off" | "auto" (backend-tuned default).
+    # VPU CIOS path. "off" | "on"/"xla" (jnp chain body, XLA-scheduled dots)
+    # | "kernel" (in-Pallas dots, single HBM pass) | "auto" (backend default).
     mxu_fold: str = os.environ.get("SUMCHECK_TPU_MXU_FOLD", "auto")
 
+    def mxu_mode(self) -> str:
+        if self.mxu_fold in ("on", "xla"):
+            return "xla"
+        if self.mxu_fold == "kernel":
+            return "kernel"
+        return "off"
+
     def use_mxu_fold(self) -> bool:
-        return self.mxu_fold == "on"
+        """XLA-level shared-scalar MXU multiplies (eq tables, prep scaling)."""
+        return self.mxu_mode() != "off"
 
     def generic_pad_lanes(self) -> int:
         if self.generic_pad == "off":

@@ -92,6 +92,24 @@ def test_chained_prove_with_mxu_fold_matches_host(rnd, _mxu_fold_on):
     assert serialize_proof(proof) == serialize_proof(href)
 
 
+def test_chained_prove_with_mxu_kernel_matches_host(rnd):
+    """In-Pallas MXU fold (interpret mode off-TPU): proof bytes must equal
+    the host path."""
+    poly, _ = random_list_of_products(6, (2, 3), 2, rnd)
+    cfg = get_config()
+    saved = (cfg.engine, cfg.mxu_fold, cfg.pallas)
+    cfg.engine = "host"
+    try:
+        href, _ = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
+        cfg.engine, cfg.mxu_fold, cfg.pallas = "device", "kernel", "on"
+        rng = Blake2b512Rng.setup()
+        rng.feed(poly.info())
+        proof, _state = prove_generic(rng, poly, block=16)
+    finally:
+        cfg.engine, cfg.mxu_fold, cfg.pallas = saved
+    assert serialize_proof(proof) == serialize_proof(href)
+
+
 def test_gkr_eq_table_mxu_matches_cios(rnd, _mxu_fold_on, monkeypatch):
     """The eq-table doublings and f2(u)-scaling must be bit-identical on the
     MXU path (threshold lowered so tiny test tables exercise it)."""
