@@ -84,6 +84,55 @@ def _bchain_generic(H: int, U: int, products: tuple, degree: int, block: int):
     return jax.jit(vfn, donate_argnums=(0, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _bstep_generic_sharded(mesh, H: int, U: int, products: tuple, degree: int,
+                           block: int, variant: str):
+    """`_bstep_generic` with the instance axis sharded over the mesh: pure
+    data parallelism (each device proves its local instances through the
+    same generic program; no collectives — the instances are independent)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from .protocol.generic_prover import _generic_step
+
+    raw = _generic_step.__wrapped__(
+        H, U, products, degree, block, variant, False, jit=False
+    )
+    vfn = jax.vmap(raw, in_axes=(0, 0, None, 0, 0, 0, 0, 0))
+    sh = Pspec("x")
+    fn = shard_map(
+        vfn, mesh=mesh,
+        in_specs=(sh, sh, Pspec(), sh, sh, sh, sh, sh),
+        out_specs=(sh, sh, sh, (sh, sh, sh, sh), sh),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _bchain_generic_sharded(mesh, H: int, U: int, products: tuple,
+                            degree: int, block: int):
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from .protocol.generic_prover import _chain_step
+
+    raw = _chain_step.__wrapped__(
+        H, U, products, degree, block, False, jit=False
+    )
+    vfn = jax.vmap(raw, in_axes=(0, 0, None, None, 0, 0, 0, 0, 0))
+    sh = Pspec("x")
+    fn = shard_map(
+        vfn, mesh=mesh,
+        in_specs=(sh, sh, Pspec(), Pspec(), sh, sh, sh, sh, sh),
+        out_specs=(sh, sh, sh, (sh, sh, sh, sh), sh, sh),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
 _bpacker = None
 
 
@@ -105,7 +154,8 @@ def _bpack(parts, state):
     return _bpacker(tuple(arrs), state)
 
 
-def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int):
+def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int,
+                           mesh=None):
     import jax.numpy as jnp
 
     from .protocol.device_prover import (
@@ -141,12 +191,20 @@ def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int):
     r = jnp.zeros((Bn, NUM_DIGITS), jnp.uint32)
     parts = []
 
-    step = _bstep_generic(H, U, products, degree, Blk, "first_block")
+    if mesh is not None:
+        step = _bstep_generic_sharded(
+            mesh, H, U, products, degree, Blk, "first_block"
+        )
+    else:
+        step = _bstep_generic(H, U, products, degree, Blk, "first_block")
     lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
     parts.append((canon[:, None], r[:, None], 1))
 
     if nv > 1:
-        cstep = _bchain_generic(H, U, products, degree, Blk)
+        if mesh is not None:
+            cstep = _bchain_generic_sharded(mesh, H, U, products, degree, Blk)
+        else:
+            cstep = _bchain_generic(H, U, products, degree, Blk)
         lo, hi, r, state, msgs, rs = cstep(
             lo, hi, jnp.uint32(H0 >> 1), jnp.int32(nv - 1), r, *state
         )
@@ -347,12 +405,17 @@ class BatchedMLSumcheck:
     transcripts; returns one proof per instance)."""
 
     @staticmethod
-    def prove(polynomials: list[ListOfProductsOfPolynomials]) -> list[list[ProverMsg]]:
+    def prove(polynomials: list[ListOfProductsOfPolynomials],
+              mesh=None) -> list[list[ProverMsg]]:
         rngs = [Blake2b512Rng.setup() for _ in polynomials]
-        return BatchedMLSumcheck.prove_as_subprotocol(rngs, polynomials)[0]
+        return BatchedMLSumcheck.prove_as_subprotocol(rngs, polynomials,
+                                                      mesh=mesh)[0]
 
     @staticmethod
-    def prove_as_subprotocol(fs_rngs, polynomials):
+    def prove_as_subprotocol(fs_rngs, polynomials, mesh=None):
+        """With `mesh`, the instance axis is sharded over the device mesh
+        (data parallelism — each device proves B/S instances; requires
+        B % num_devices == 0 and the chained generic path)."""
         assert len(fs_rngs) == len(polynomials) and polynomials
         first = polynomials[0]
         nv = first.num_variables
@@ -369,6 +432,23 @@ class BatchedMLSumcheck:
 
         for rng, poly in zip(fs_rngs, polynomials):
             rng.feed(poly.info())
+
+        if mesh is not None:
+            import numpy as _np
+
+            S = int(_np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if B % S:
+                raise SumcheckError(
+                    f"batch of {B} instances cannot be sharded over {S} devices"
+                )
+            if not (get_config().use_chained(n)
+                    and get_config().chain_impl == "generic"
+                    and all(isinstance(r, Blake2b512Rng) for r in fs_rngs)):
+                raise SumcheckError(
+                    "sharded batching requires the chained generic engine"
+                )
+            return _prove_batched_generic(fs_rngs, polynomials, degree, nv,
+                                          mesh=mesh)
 
         if get_config().use_chained(n) and all(
             isinstance(r, Blake2b512Rng) for r in fs_rngs

@@ -54,3 +54,33 @@ def test_batched_chained_matches_individual(rnd):
         cfg.chained, cfg.device_threshold = old
     for ref, pf in zip(refs, batched):
         assert all(a == b for a, b in zip(ref, pf)), "chained batch differs"
+
+
+@pytest.mark.slow
+def test_batched_sharded_matches_individual(rnd):
+    """Sharded batch (instance axis data-parallel over the mesh) must be
+    byte-identical to per-instance proving, across device counts."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sumcheck_tpu.parallel.mesh import default_mesh
+    from sumcheck_tpu.utils.config import get_config
+
+    nv, B = 5, 8
+    polys = [_make(nv, rnd) for _ in range(B)]
+    cfg = get_config()
+    old = (cfg.chained, cfg.device_threshold, cfg.chain_impl)
+    try:
+        cfg.chained, cfg.device_threshold = "off", 1 << 40
+        refs = [MLSumcheck.prove(p) for p in polys]
+        cfg.chained, cfg.device_threshold = "on", 1
+        cfg.chain_impl = "generic"
+        for ndev in [2, 8]:
+            batched = BatchedMLSumcheck.prove(polys, mesh=default_mesh(ndev))
+            for ref, pf in zip(refs, batched):
+                assert all(a == b for a, b in zip(ref, pf)), f"ndev={ndev}"
+        with pytest.raises(SumcheckError):
+            BatchedMLSumcheck.prove(polys[:3], mesh=default_mesh(2))
+    finally:
+        cfg.chained, cfg.device_threshold, cfg.chain_impl = old
