@@ -32,7 +32,7 @@ import functools
 
 import numpy as np
 
-from ..fields.fr import NUM_DIGITS, Fr
+from ..fields.fr import NUM_DIGITS
 from ..protocol.device_prover import (
     lift_transcript,
     msgs_from_host,
