@@ -102,19 +102,26 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     )
     from .utils.config import get_config
 
-    hg_dev, (x, perm_y, last_y, w) = GI.phase1_init_device_arrays(
-        f1, f3, list(g), dim
-    )
-    lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
-
     ts = lift_transcript(rng)
     products = ((0, 1),)  # unit coefficient: nothing to fold into the tables
 
     if get_config().chain_impl == "generic":
         # ONE compiled round program serves all 2*dim rounds of BOTH phases
-        # (same table extent, slots, degree) — see protocol/generic_prover.py.
+        # (same table extent, slots, degree) — see protocol/generic_prover.py;
+        # each phase's init + pair prep is ONE fused dispatch (~2 ms per
+        # async dispatch through the tunnel).
         from .protocol.generic_prover import _fetch, chain_rounds_generic, pad_pair
 
+        (gbits_d, x, yrev_d, vals_d, perm_x, last_x, perm_y, last_y) = (
+            GI._split_f1_device(f1, dim)
+        )
+        nnz = int(vals_d.shape[1])
+        g_r, g_omr = GI._points_arrays(list(g))
+        lo1, hi1, w = GI._compiled_phase1_pair(nnz, dim)(
+            gbits_d, perm_x, last_x, yrev_d, vals_d,
+            jnp.asarray(g_r), jnp.asarray(g_omr),
+            f3.device_bitrev(), f2.device_bitrev(),
+        )
         H0 = lo1.shape[2]
         lo1, hi1 = pad_pair(lo1, hi1)
         state = (ts.h, ts.t, ts.buf, jnp.uint32(ts.blen))
@@ -122,13 +129,10 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             lo1, hi1, state, products, 2, dim, active_pairs=H0
         )
         rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
-        f2_u = GI._compiled_final_fold(1)(
-            pair1[0][:, :, :1], pair1[1][:, :, :1], r_last
+        lo2, hi2 = GI._compiled_phase2_pair(nnz, dim)(
+            pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
+            x, perm_y, last_y, w, rs1_dev, f3.device_bitrev(),
         )
-        f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
-            x, perm_y, last_y, w, rs1_dev
-        )
-        lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
         lo2, hi2 = pad_pair(lo2, hi2)
         parts2, state, _pair2, _r = chain_rounds_generic(
             lo2, hi2, state, products, 2, dim, active_pairs=H0
@@ -139,6 +143,10 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             msgs_from_host(msgs_h[:dim], 2), msgs_from_host(msgs_h[dim:], 2)
         )
 
+    hg_dev, (x, perm_y, last_y, w) = GI.phase1_init_device_arrays(
+        f1, f3, list(g), dim
+    )
+    lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
     msgs1, rs1, carry, blen, pair1 = chain_rounds(
         lo1, hi1, ts.carry(), ts.blen, products, 2, dim
     )

@@ -266,6 +266,57 @@ def bitrev_cols(x, nv: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _compiled_phase1_pair(nnz: int, dim: int):
+    """Fused phase-1 init + pair prep: ONE dispatch from (f1 components, g,
+    f2, f3) to the phase-1 (lo, hi) pair plus the per-entry weights `w`
+    (kept for phase 2). Merges `_compiled_phase1` and `_compiled_prep1` —
+    through the tunnel every async dispatch costs ~2 ms."""
+
+    def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev,
+           f2_bitrev):
+        w = _weight_fold(gbits, values, g_r, g_omr, dim)
+        f3y = jnp.take(f3_bitrev, y_rev, axis=1)
+        wv = LJ.mont_mul(w, f3y)
+        hg = _segment_reduce_sorted(wv, perm_x, last_x)
+        n = 1 << dim
+        s = jnp.stack([bitrev_cols(hg, dim), f2_bitrev], axis=0)
+        return s[:, :, : n // 2], s[:, :, n // 2 :], w
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_phase2_pair(nnz: int, dim: int):
+    """Fused final-fold(f2(u)) + phase-2 init + pair prep: ONE dispatch from
+    (phase-1 final pair + challenges, f1 components, f3) to the phase-2
+    (lo, hi) pair. Merges `_compiled_final_fold`, `_compiled_phase2_digits`
+    and `_compiled_prep2`."""
+
+    def fn(pair_lo, pair_hi, r_last, x, perm_y, last_y, w, u_digits,
+           f3_bitrev):
+        l, h = pair_lo[1, :, 0], pair_hi[1, :, 0]
+        f2u = LJ.add(l, LJ.mont_mul(LJ.sub(h, l), r_last))
+        one = jnp.asarray(L.mont_scalar(1))
+        r_pts = [u_digits[i][:, None] for i in range(dim)]
+        omr_pts = [LJ.sub(one, r) for r in r_pts]
+        w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
+        f1gu = _segment_reduce_sorted(w2, perm_y, last_y)
+        n = 1 << dim
+        from ..utils.config import get_config
+
+        if get_config().use_mxu_fold() and n >= MXU_MIN_LANES:
+            from .mxu_mul import mont_mul_scalar_mxu
+
+            f3f2u = mont_mul_scalar_mxu(f3_bitrev, f2u)
+        else:
+            f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
+        s = jnp.stack([bitrev_cols(f1gu, dim), f3f2u], axis=0)
+        return s[:, :, : n // 2], s[:, :, n // 2 :]
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def _compiled_prep1(dim: int):
     """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1, slot
     axis leading ((2, 16, half) — see `round_pallas` layout note).

@@ -53,6 +53,7 @@ def main() -> None:
         ("pallas_vpu", {"pallas": "auto", "mxu_fold": "off"}),
         ("jnp_vpu", {"pallas": "off", "mxu_fold": "off"}),
         ("jnp_mxu", {"pallas": "off", "mxu_fold": "on"}),
+        ("pallas_mxu_kernel", {"pallas": "auto", "mxu_fold": "kernel"}),
     ]
     ref = None
     for name, flags in variants:

@@ -25,8 +25,8 @@ round. The measured overhead below is therefore the expected efficiency
 loss on a pod slice.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-     python tools/scaling_bench.py [nv]
-Writes SCALING.json at the repo root.
+     python tools/scaling_bench.py [nv] [ml|gkr|batch ...]
+Writes SCALING.json at the repo root (one entry per protocol measured).
 """
 
 from __future__ import annotations
@@ -59,33 +59,28 @@ from sumcheck_tpu.ml_sumcheck import serialize_proof  # noqa: E402
 from sumcheck_tpu.parallel.chained import ChainedShardedProver  # noqa: E402
 
 
-def main() -> None:
-    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 14
-    rnd = random.Random(17)
-    poly = ListOfProductsOfPolynomials(nv)
-    mles = [DenseMLE.rand(nv, rnd) for _ in range(3)]
-    poly.add_product(mles, Fr(rnd.randrange(P)))
-    poly.add_product([mles[0], DenseMLE.rand(nv, rnd)], Fr(rnd.randrange(P)))
+CAVEAT = ("virtual CPU mesh (1 physical core): N shards run serially on the "
+          "same silicon, so wall-clock cannot drop with N; the measurement is "
+          "the collective schedule (bit-identical proofs) and the sharding "
+          "overhead TN/T1-1, whose inverse bounds real-ICI efficiency (the "
+          "per-round psum is ~320B vs ms of shard-local work)")
 
-    results = {"nv": nv, "caveat": "virtual CPU mesh (1 physical core): N shards run "
-               "serially on the same silicon, so wall-clock cannot drop with N; the "
-               "measurement is the collective schedule (bit-identical proofs) and the "
-               "sharding overhead TN/T1-1, whose inverse bounds real-ICI efficiency "
-               "(the per-round psum is ~320B vs ms of shard-local work)"}
+
+def _measure(make_prove, counts):
+    """make_prove(ndev) -> zero-arg prove returning comparable proof bytes."""
     base = None
     ref_bytes = None
     rows = []
-    for ndev in [1, 2, 4, 8]:
-        prover = ChainedShardedProver.auto(ndev)
-        proof = prover.prove(poly)  # warm (compile)
-        b = serialize_proof(proof)
+    for ndev in counts:
+        prove = make_prove(ndev)
+        b = prove()  # warm (compile)
         if ref_bytes is None:
             ref_bytes = b
         assert b == ref_bytes, f"proof differs at ndev={ndev}"
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            prover.prove(poly)
+            prove()
             best = min(best, time.perf_counter() - t0)
         if base is None:
             base = best
@@ -99,8 +94,98 @@ def main() -> None:
             "implied_real_mesh_efficiency": round(min(1.0, base / best), 3),
         })
         print(rows[-1])
-    results["rows"] = rows
+    return rows
+
+
+def _ml_rows(nv: int):
+    rnd = random.Random(17)
+    poly = ListOfProductsOfPolynomials(nv)
+    mles = [DenseMLE.rand(nv, rnd) for _ in range(3)]
+    poly.add_product(mles, Fr(rnd.randrange(P)))
+    poly.add_product([mles[0], DenseMLE.rand(nv, rnd)], Fr(rnd.randrange(P)))
+
+    def mk(ndev):
+        prover = ChainedShardedProver.auto(ndev)
+        return lambda: serialize_proof(prover.prove(poly))
+
+    return _measure(mk, [1, 2, 4, 8])
+
+
+def _gkr_rows(nv: int):
+    """Sharded GKR (parallel/gkr.py): sparse f1 with 2^nv nonzeros over 3nv
+    vars — the reference bench workload (`gkr_round_sumcheck_bench.rs:21-23`)."""
+    from sumcheck_tpu import Blake2b512Rng, SparseMLE
+    from sumcheck_tpu.parallel.gkr import ShardedGKRProver
+
+    rnd = random.Random(23)
+    f2 = DenseMLE.rand(nv, rnd)
+    f3 = DenseMLE.rand(nv, rnd)
+    f1 = SparseMLE.rand_with_config(3 * nv, 1 << nv, rnd)
+    g = [Fr(rnd.randrange(P)) for _ in range(nv)]
+
+    def mk(ndev):
+        prover = ShardedGKRProver.auto(ndev)
+
+        def prove():
+            proof = prover.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+            return repr(
+                [[e.v for e in m.evaluations]
+                 for m in proof.phase1_sumcheck_msgs + proof.phase2_sumcheck_msgs]
+            )
+
+        return prove
+
+    return _measure(mk, [1, 2, 4, 8])
+
+
+def _batch_rows(nv: int, B: int = 8):
+    """Sharded batch (instance data parallelism): B instances, B/S per
+    device."""
+    from sumcheck_tpu.batch import BatchedMLSumcheck
+    from sumcheck_tpu.parallel.mesh import default_mesh
+    from sumcheck_tpu.utils.config import get_config
+
+    rnd = random.Random(31)
+    polys = []
+    for _ in range(B):
+        poly = ListOfProductsOfPolynomials(nv)
+        ms = [DenseMLE.rand(nv, rnd) for _ in range(3)]
+        poly.add_product(ms, Fr(rnd.randrange(P)))
+        poly.add_product([ms[0], ms[2]], Fr(rnd.randrange(P)))
+        polys.append(poly)
+    cfg = get_config()
+    cfg.chained, cfg.device_threshold, cfg.chain_impl = "on", 1, "generic"
+
+    def mk(ndev):
+        mesh = default_mesh(ndev)
+        return lambda: repr([
+            serialize_proof(p) for p in BatchedMLSumcheck.prove(polys, mesh=mesh)
+        ])
+
+    return _measure(mk, [1, 2, 4, 8])
+
+
+def main() -> None:
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+    protos = [a for a in sys.argv[2:] if not a.isdigit()] or ["ml"]
+
     out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    results = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f)
+        # migrate the original single-protocol layout
+        results = prev if "protocols" in prev else {
+            "protocols": {"ml": {"nv": prev.get("nv"), "rows": prev.get("rows")}}
+        }
+    results["caveat"] = CAVEAT
+    results.setdefault("protocols", {})
+
+    fns = {"ml": _ml_rows, "gkr": _gkr_rows, "batch": _batch_rows}
+    for proto in protos:
+        print(f"--- {proto} nv={nv} ---")
+        results["protocols"][proto] = {"nv": nv, "rows": fns[proto](nv)}
+
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}; proofs bit-identical across device counts")
