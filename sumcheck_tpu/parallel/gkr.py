@@ -180,18 +180,18 @@ def _prep_deal(mesh, dim: int, S: int, scaled: bool):
     return jax.jit(wrapped)
 
 
-def _split_f1_sharded(f1, dim: int, S: int):
+def _split_f1_sharded(f1, dim: int, S: int, mesh):
     """Host-side, challenge-independent shard metadata for f1, cached on the
     (immutable) SparseMLE: indices split into g/x/y bit components, entries
     zero-padded to S equal chunks, and PER-CHUNK segment-sort metadata for
-    both the x (phase 1) and y (phase 2) groupings."""
+    both the x (phase 1) and y (phase 2) groupings. Arrays are materialized
+    per-process (`make_array_from_callback`) with their shard_map shardings,
+    so the same code path serves `jax.distributed` multi-host meshes."""
     from ..protocol.prover import bitrev_perm
 
     cache = getattr(f1, "_shard_split", None)
-    if cache is not None and cache[0] == (dim, S):
+    if cache is not None and cache[0] == (dim, S, mesh):
         return cache[1]
-
-    import jax.numpy as jnp
 
     idx = np.asarray(f1.indices).astype(np.int64)
     vals = np.asarray(f1.values)
@@ -223,12 +223,29 @@ def _split_f1_sharded(f1, dim: int, S: int):
 
     perm_x, last_x = chunk_meta(x)
     perm_y, last_y = chunk_meta(y)
-    out = tuple(
-        jnp.asarray(a)
-        for a in (gbits, x, y_rev, vals, perm_x, last_x, perm_y, last_y)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    def _mk(arr, spec):
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda i: arr[i]
+        )
+
+    e = Pspec("x")  # entry axis
+    out = (
+        _mk(gbits, e),
+        _mk(x, e),
+        _mk(y_rev, e),
+        _mk(vals, Pspec(None, "x")),
+        _mk(perm_x, e),
+        _mk(last_x, Pspec("x", None)),
+        _mk(perm_y, e),
+        _mk(last_y, Pspec("x", None)),
     )
     try:
-        f1._shard_split = ((dim, S), out)
+        f1._shard_split = ((dim, S, mesh), out)
     except AttributeError:
         pass
     return out
@@ -269,7 +286,7 @@ class ShardedGKRProver:
                 f"GKR dim {dim} cannot be sharded over {S} devices"
             )
         (gbits, x, y_rev, vals, perm_x, last_x, perm_y, last_y) = (
-            _split_f1_sharded(f1, dim, S)
+            _split_f1_sharded(f1, dim, S, self.mesh)
         )
         chunk = int(gbits.shape[0]) // S
         g_r, g_omr = GI._points_arrays(list(g))

@@ -60,6 +60,24 @@ poly.add_product([mles[0], mles[2]], Fr(rnd.randrange(P)))
 prover = ChainedShardedProver(default_mesh(8))
 proof = prover.prove(poly)
 print(f"proc {pid}: proof {serialize_proof(proof).hex()}", flush=True)
+
+from sumcheck_tpu import Blake2b512Rng, GKRRoundSumcheck, SparseMLE
+from sumcheck_tpu.parallel.gkr import ShardedGKRProver
+
+dim = max(4, nv // 2)
+grnd = random.Random(101)
+f2 = DenseMLE.rand(dim, grnd)
+f3 = DenseMLE.rand(dim, grnd)
+f1 = SparseMLE.rand_with_config(3 * dim, 1 << dim, grnd)
+gg = [Fr(grnd.randrange(P)) for _ in range(dim)]
+gproof = ShardedGKRProver(default_mesh(8)).prove(
+    Blake2b512Rng.setup(), f1, f2, f3, gg
+)
+digest = repr([[e.v for e in m.evaluations]
+               for m in gproof.phase1_sumcheck_msgs + gproof.phase2_sumcheck_msgs])
+import hashlib
+
+print(f"proc {pid}: gkr {hashlib.blake2b(digest.encode()).hexdigest()}", flush=True)
 """
 
 
@@ -88,6 +106,21 @@ def main() -> None:
     poly.add_product([mles[0], mles[2]], Fr(rnd.randrange(P)))
     expected = serialize_proof(MLSumcheck.prove(poly)).hex()
 
+    from sumcheck_tpu import Blake2b512Rng, GKRRoundSumcheck, SparseMLE
+
+    dim = max(4, nv // 2)
+    grnd = random.Random(101)
+    f2 = DenseMLE.rand(dim, grnd)
+    f3 = DenseMLE.rand(dim, grnd)
+    f1 = SparseMLE.rand_with_config(3 * dim, 1 << dim, grnd)
+    gg = [Fr(grnd.randrange(P)) for _ in range(dim)]
+    gproof = GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, gg)
+    digest = repr([[e.v for e in m.evaluations]
+                   for m in gproof.phase1_sumcheck_msgs + gproof.phase2_sumcheck_msgs])
+    import hashlib
+
+    expected_gkr = hashlib.blake2b(digest.encode()).hexdigest()
+
     code = _WORKER % {"repo": REPO}
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
@@ -108,14 +141,18 @@ def main() -> None:
             out = p.communicate()[0] + "\n<timeout>"
         outs.append(out)
         ok &= p.returncode == 0
-    hexes = []
+    hexes, gkr_hexes = [], []
     for i, out in enumerate(outs):
         for line in out.splitlines():
             if line.startswith(f"proc {i}: proof "):
                 hexes.append(line.split()[-1])
-    if ok and len(hexes) == 2 and hexes[0] == hexes[1] == expected:
+            if line.startswith(f"proc {i}: gkr "):
+                gkr_hexes.append(line.split()[-1])
+    if (ok and len(hexes) == 2 and hexes[0] == hexes[1] == expected
+            and len(gkr_hexes) == 2
+            and gkr_hexes[0] == gkr_hexes[1] == expected_gkr):
         print(f"MULTIHOST OK: 2 processes x 4 devices, nv={nv}, "
-              "proof bytes == single-process host proof")
+              "ML + GKR proof bytes == single-process host proofs")
     else:
         print("MULTIHOST FAILED")
         for i, out in enumerate(outs):
