@@ -187,6 +187,29 @@ class GKRProof:
             + self.phase1_sumcheck_msgs[0].evaluations[1]
         )
 
+    def serialize_uncompressed(self) -> bytes:
+        """Byte encoding the reference lacks (`data_structures.rs:9-13` has
+        no CanonicalSerialize derive): the two phases as the encoding that
+        derive WOULD produce — two length-prefixed `Vec<ProverMsg>`."""
+        from .ml_sumcheck import serialize_proof
+
+        return serialize_proof(self.phase1_sumcheck_msgs) + serialize_proof(
+            self.phase2_sumcheck_msgs
+        )
+
+    @staticmethod
+    def deserialize_uncompressed(data: bytes) -> "GKRProof":
+        from .ml_sumcheck import _deserialize_proof_prefix
+        from .utils.errors import SerializationError
+
+        p1, off1 = _deserialize_proof_prefix(data)
+        p2, off2 = _deserialize_proof_prefix(data[off1:])
+        if off1 + off2 != len(data):
+            raise SerializationError("trailing bytes in GKRProof encoding")
+        if len(p1) != len(p2):
+            raise SerializationError("GKR phases have unequal round counts")
+        return GKRProof(p1, p2)
+
 
 class GKRRoundSumcheckSubClaim:
     """Subclaim from a convinced GKR verifier

@@ -31,14 +31,18 @@ def serialize_proof(proof: list[ProverMsg]) -> bytes:
     )
 
 
-def deserialize_proof(data: bytes) -> list[ProverMsg]:
-    """Inverse of `serialize_proof`."""
+def _deserialize_proof_prefix(data: bytes) -> tuple[list[ProverMsg], int]:
+    """Parse one `Vec<ProverMsg>` from the head of `data`; returns
+    (proof, bytes consumed)."""
     from .fields.fr import Fr, MODULUS_BYTES
+    from .utils.errors import SerializationError
 
     off = 0
 
     def u64():
         nonlocal off
+        if off + 8 > len(data):
+            raise SerializationError("truncated length prefix")
         v = int.from_bytes(data[off : off + 8], "little")
         off += 8
         return v
@@ -47,11 +51,19 @@ def deserialize_proof(data: bytes) -> list[ProverMsg]:
     proof = []
     for _ in range(n):
         k = u64()
+        if off + k * MODULUS_BYTES > len(data):
+            raise SerializationError("truncated proof encoding")
         evals = []
         for _ in range(k):
             evals.append(Fr.deserialize_uncompressed(data[off : off + MODULUS_BYTES]))
             off += MODULUS_BYTES
         proof.append(ProverMsg(evals))
+    return proof, off
+
+
+def deserialize_proof(data: bytes) -> list[ProverMsg]:
+    """Inverse of `serialize_proof`."""
+    proof, off = _deserialize_proof_prefix(data)
     if off != len(data):
         from .utils.errors import SerializationError
 

@@ -106,3 +106,29 @@ def test_phase_two_matches_naive(rnd):
     f1_gu = initialize_phase_two(f1_g, u)
     direct = f1.fix_variables(g + u).to_dense()
     assert f1_gu.to_fr_list() == direct.to_fr_list()
+
+
+def test_gkr_proof_serde_round_trip(rnd):
+    """GKRProof byte round-trip; the deserialized proof re-verifies and
+    malformed encodings raise SerializationError."""
+    import pytest
+
+    from sumcheck_tpu import Blake2b512Rng
+    from sumcheck_tpu.gkr_round_sumcheck import GKRProof, GKRRoundSumcheck
+    from sumcheck_tpu.utils.errors import SerializationError
+
+    dim = 3
+    f1, f2, f3 = random_gkr_instance(dim, rnd)
+    g = [Fr(rnd.randrange(P)) for _ in range(dim)]
+    proof = GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+    blob = proof.serialize_uncompressed()
+    back = GKRProof.deserialize_uncompressed(blob)
+    assert back.serialize_uncompressed() == blob
+    sub = GKRRoundSumcheck.verify(
+        Blake2b512Rng.setup(), dim, back, back.extract_sum()
+    )
+    assert sub.verify_subclaim(f1, f2, f3, g)
+    with pytest.raises(SerializationError):
+        GKRProof.deserialize_uncompressed(blob + b"\x00")
+    with pytest.raises(SerializationError):
+        GKRProof.deserialize_uncompressed(blob[:-1])
