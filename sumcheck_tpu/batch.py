@@ -540,3 +540,137 @@ class BatchedMLSumcheck:
             MLSumcheck.verify(info, s, pf)
             for info, s, pf in zip(polynomial_infos, claimed_sums, proofs)
         ]
+
+
+@functools.lru_cache(maxsize=None)
+def _bgkr_phase1(nnz: int, dim: int):
+    import jax
+
+    from .ops.gkr_init import _phase1_pair_body
+
+    return jax.jit(jax.vmap(_phase1_pair_body(dim)))
+
+
+@functools.lru_cache(maxsize=None)
+def _bgkr_phase2(nnz: int, dim: int):
+    import jax
+
+    from .ops.gkr_init import _phase2_pair_body
+
+    return jax.jit(jax.vmap(_phase2_pair_body(dim)))
+
+
+class BatchedGKRRoundSumcheck:
+    """Prove B independent GKR round-sumcheck instances at once (throughput
+    mode, same pattern as `BatchedMLSumcheck`): the two vmapped fused phase
+    inits + the batched generic round programs run all 2*dim rounds of all B
+    instances with ONE host sync. Instances must share (dim, nnz); proofs
+    are bit-identical to per-instance `GKRRoundSumcheck.prove`."""
+
+    @staticmethod
+    def prove(fs_rngs, f1s, f2s, f3s, gs):
+        import jax.numpy as jnp
+
+        from .gkr_round_sumcheck import GKRProof, GKRRoundSumcheck
+        from .ops import gkr_init as GI
+        from .protocol.device_prover import (
+            lift_transcript,
+            msgs_from_host,
+        )
+        from .transcript.device import DevTranscript
+
+        Bn = len(f1s)
+        assert len(fs_rngs) == Bn == len(f2s) == len(f3s) == len(gs) and Bn
+        dim = f2s[0].num_vars
+        nnzs = {f1.num_nonzero for f1 in f1s}
+        for f1, f2, f3 in zip(f1s, f2s, f3s):
+            if not (f1.num_vars == 3 * dim and f2.num_vars == dim
+                    and f3.num_vars == dim):
+                raise SumcheckError("batched GKR instances must share dim")
+        if (len(nnzs) != 1 or get_config().chain_impl != "generic"
+                or not all(isinstance(r, Blake2b512Rng) for r in fs_rngs)):
+            # graceful fallback: per-instance proving
+            return [
+                GKRRoundSumcheck.prove(r, f1, f2, f3, g)
+                for r, f1, f2, f3, g in zip(fs_rngs, f1s, f2s, f3s, gs)
+            ]
+
+        splits = [GI._split_f1_device(f1, dim) for f1 in f1s]
+        stk = [jnp.stack([s[i] for s in splits]) for i in range(8)]
+        gbits, x, y_rev, vals, perm_x, last_x, perm_y, last_y = stk
+        nnz = int(vals.shape[2])
+        g_pts = [GI._points_arrays(list(g)) for g in gs]
+        g_r = jnp.asarray(np.stack([p[0] for p in g_pts]))
+        g_omr = jnp.asarray(np.stack([p[1] for p in g_pts]))
+        f3_bitrev = jnp.stack([f3.device_bitrev() for f3 in f3s])
+        f2_bitrev = jnp.stack([f2.device_bitrev() for f2 in f2s])
+
+        lo, hi, w = _bgkr_phase1(nnz, dim)(
+            gbits, perm_x, last_x, y_rev, vals, g_r, g_omr,
+            f3_bitrev, f2_bitrev,
+        )
+        H0 = lo.shape[3]
+        target = get_config().generic_pad_lanes()
+        padw = ((0, 0), (0, 0), (0, 0), (0, max(0, (target or H0) - H0)))
+
+        lifted = [lift_transcript(r) for r in fs_rngs]
+        blen0 = lifted[0].blen
+        assert all(t.blen == blen0 for t in lifted)
+        state = (
+            jnp.stack([t.h for t in lifted]),
+            jnp.stack([t.t for t in lifted]),
+            jnp.stack([t.buf for t in lifted]),
+            jnp.full((Bn,), blen0, jnp.uint32),
+        )
+        r = jnp.zeros((Bn, NUM_DIGITS), jnp.uint32)
+        products = ((0, 1),)
+
+        def run_phase(lo, hi, r, state):
+            lo, hi = jnp.pad(lo, padw), jnp.pad(hi, padw)
+            H = lo.shape[3]
+            Blk = min(get_config().generic_block, H)
+            parts = []
+            step = _bstep_generic(H, 2, products, 2, Blk, "first_block")
+            lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
+            parts.append((canon[:, None], r[:, None], 1))
+            if dim > 1:
+                cstep = _bchain_generic(H, 2, products, 2, Blk)
+                lo, hi, r, state, msgs, rs = cstep(
+                    lo, hi, jnp.uint32(H0 >> 1), jnp.int32(dim - 1), r, *state
+                )
+                parts.append((msgs, rs, dim - 1))
+            return lo, hi, r, state, parts
+
+        lo, hi, r, state, parts1 = run_phase(lo, hi, r, state)
+        rs1 = jnp.concatenate([rr[:, :n] for _m, rr, n in parts1], axis=1)
+        lo2, hi2 = _bgkr_phase2(nnz, dim)(
+            lo[:, :, :, :1], hi[:, :, :, :1], r,
+            x, perm_y, last_y, w, rs1, f3_bitrev,
+        )
+        _lo, _hi, r, state, parts2 = run_phase(lo2, hi2, r, state)
+
+        parts = parts1 + parts2
+        flat = np.asarray(_bpack(parts, state))  # ONE host transfer
+        d1 = 3
+        off = 0
+        msgs_np = []
+        for m, rr, n in parts:
+            sz = int(np.prod(m.shape))
+            msgs_np.append(flat[off : off + sz].reshape(m.shape)[:, :n])
+            off += sz
+            off += int(np.prod(rr.shape))
+        msgs_all = np.concatenate(msgs_np, axis=1)  # (B, 2*dim, 16, d1)
+        h = flat[off : off + Bn * 16].reshape(Bn, 8, 2); off += Bn * 16
+        tt = flat[off : off + Bn].reshape(Bn); off += Bn
+        buf = flat[off : off + Bn * 32].reshape(Bn, 16, 2); off += Bn * 32
+        blen = int(flat[off])
+
+        proofs = []
+        for b in range(Bn):
+            proofs.append(GKRProof(
+                msgs_from_host(msgs_all[b, :dim], 2),
+                msgs_from_host(msgs_all[b, dim:], 2),
+            ))
+            hw, tw, bw = DevTranscript(h[b], tt[b], buf[b], blen).lower()
+            fs_rngs[b].set_state(hw, tw, bw)
+        return proofs

@@ -265,12 +265,12 @@ def bitrev_cols(x, nv: int):
     return jnp.take(x, rev, axis=1)
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled_phase1_pair(nnz: int, dim: int):
-    """Fused phase-1 init + pair prep: ONE dispatch from (f1 components, g,
-    f2, f3) to the phase-1 (lo, hi) pair plus the per-entry weights `w`
-    (kept for phase 2). Merges `_compiled_phase1` and `_compiled_prep1` —
-    through the tunnel every async dispatch costs ~2 ms."""
+def _phase1_pair_body(dim: int):
+    """Fused phase-1 init + pair prep body: from (f1 components, g, f2, f3)
+    to the phase-1 (lo, hi) pair plus the per-entry weights `w` (kept for
+    phase 2). Merges `_compiled_phase1` and `_compiled_prep1` — through the
+    tunnel every async dispatch costs ~2 ms. Pure jnp: jitted directly or
+    vmapped over an instance axis (batched GKR)."""
 
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev,
            f2_bitrev):
@@ -282,12 +282,11 @@ def _compiled_phase1_pair(nnz: int, dim: int):
         s = jnp.stack([bitrev_cols(hg, dim), f2_bitrev], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :], w
 
-    return jax.jit(fn)
+    return fn
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled_phase2_pair(nnz: int, dim: int):
-    """Fused final-fold(f2(u)) + phase-2 init + pair prep: ONE dispatch from
+def _phase2_pair_body(dim: int):
+    """Fused final-fold(f2(u)) + phase-2 init + pair prep body: from
     (phase-1 final pair + challenges, f1 components, f3) to the phase-2
     (lo, hi) pair. Merges `_compiled_final_fold`, `_compiled_phase2_digits`
     and `_compiled_prep2`."""
@@ -313,7 +312,17 @@ def _compiled_phase2_pair(nnz: int, dim: int):
         s = jnp.stack([bitrev_cols(f1gu, dim), f3f2u], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_phase1_pair(nnz: int, dim: int):
+    return jax.jit(_phase1_pair_body(dim))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_phase2_pair(nnz: int, dim: int):
+    return jax.jit(_phase2_pair_body(dim))
 
 
 @functools.lru_cache(maxsize=None)

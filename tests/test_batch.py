@@ -84,3 +84,54 @@ def test_batched_sharded_matches_individual(rnd):
             BatchedMLSumcheck.prove(polys[:3], mesh=default_mesh(2))
     finally:
         cfg.chained, cfg.device_threshold, cfg.chain_impl = old
+
+
+@pytest.mark.slow
+def test_batched_gkr_matches_individual(rnd):
+    """Batched GKR (vmapped phase inits + batched generic rounds, one sync)
+    must be bit-identical to per-instance GKRRoundSumcheck.prove."""
+    from sumcheck_tpu import Blake2b512Rng, DenseMLE as DM, GKRRoundSumcheck, SparseMLE
+    from sumcheck_tpu.batch import BatchedGKRRoundSumcheck
+    from sumcheck_tpu.utils.config import get_config
+
+    dim, nnz, B = 4, 1 << 4, 3
+    insts = []
+    for _ in range(B):
+        f1 = SparseMLE.rand_with_config(3 * dim, nnz, rnd)
+        if f1.num_nonzero != nnz:
+            f1 = SparseMLE.rand_with_config(3 * dim, nnz, rnd)
+        insts.append((f1, DM.rand(dim, rnd), DM.rand(dim, rnd),
+                      [Fr(rnd.randrange(P)) for _ in range(dim)]))
+    if len({f1.num_nonzero for f1, *_ in insts}) != 1:
+        pytest.skip("nonzero collision made nnz unequal")
+
+    cfg = get_config()
+    old = (cfg.engine, cfg.chained, cfg.device_threshold, cfg.chain_impl)
+    try:
+        cfg.engine = "host"
+        refs = [GKRRoundSumcheck.prove(Blake2b512Rng.setup(), *i) for i in insts]
+        cfg.engine, cfg.chained, cfg.device_threshold = "device", "on", 1
+        cfg.chain_impl = "generic"
+        rngs = [Blake2b512Rng.setup() for _ in range(B)]
+        proofs = BatchedGKRRoundSumcheck.prove(
+            rngs, *(list(t) for t in zip(*insts))
+        )
+    finally:
+        cfg.engine, cfg.chained, cfg.device_threshold, cfg.chain_impl = old
+    for ref, pf, inst in zip(refs, proofs, insts):
+        for a, b in zip(ref.phase1_sumcheck_msgs + ref.phase2_sumcheck_msgs,
+                        pf.phase1_sumcheck_msgs + pf.phase2_sumcheck_msgs):
+            assert a == b, "batched GKR proof differs"
+        sub = GKRRoundSumcheck.verify(
+            Blake2b512Rng.setup(), dim, pf, pf.extract_sum()
+        )
+        assert sub.verify_subclaim(inst[0], inst[1], inst[2], inst[3])
+    # transcript state advanced identically: next draw matches host path
+    rng_ref = Blake2b512Rng.setup()
+    cfg2 = get_config()
+    cfg2.engine = "host"
+    try:
+        GKRRoundSumcheck.prove(rng_ref, *insts[0])
+    finally:
+        cfg2.engine = old[0]
+    assert Fr.rand(rngs[0]) == Fr.rand(rng_ref)
