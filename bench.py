@@ -10,6 +10,7 @@ Modes (BENCH_PROTO):
   gkr     GKRRoundSumcheck prove, sparse f1 with 2^nv nonzeros over 3nv vars —
           reference `gkr_round_sumcheck_bench.rs:21-23`.
   batch   Throughput mode: BENCH_BATCH independent instances per chip.
+  gkr_batch  Throughput mode for GKR: BENCH_BATCH instances per fused prove.
   sweep   criterion-equivalent sweep nv=BENCH_SWEEP (default 10:22) of prove
           AND verify for both protocols, with %SOL per size (measured
           ALU/HBM rooflines — utils/sol.py); artifact: BENCH_SWEEP.json.
@@ -163,6 +164,33 @@ def bench_batch(nv: int, reps: int, rng, batch: int):
     return best / batch
 
 
+def bench_gkr_batch(nv: int, reps: int, rng, batch: int):
+    """B independent GKR instances per fused prove (throughput mode)."""
+    import random
+
+    from sumcheck_tpu.batch import BatchedGKRRoundSumcheck
+
+    prnd = random.Random(11)
+    insts = []
+    while len(insts) < batch:
+        f1 = SparseMLE.rand_with_config(3 * nv, 1 << nv, prnd)
+        if insts and f1.num_nonzero != insts[0][0].num_nonzero:
+            continue  # batching needs equal nnz
+        insts.append((f1, random_mle(nv, rng), random_mle(nv, rng),
+                      [Fr(prnd.randrange(P)) for _ in range(nv)]))
+    args = [list(t) for t in zip(*insts)]
+
+    def prove():
+        rngs = [Blake2b512Rng.setup() for _ in range(batch)]
+        return BatchedGKRRoundSumcheck.prove(rngs, *args)
+
+    t0 = time.perf_counter()
+    prove()
+    print(f"# gkr_batch warmup (incl. compile): {time.perf_counter()-t0:.3f}s", file=sys.stderr)
+    best = time_best(prove, reps, f"gkr_batch{batch} nv={nv}")
+    return best / batch
+
+
 def _ml_sol(nv: int, roofline) -> dict:
     from sumcheck_tpu.utils.sol import count_prove_ops, sol_seconds
 
@@ -260,6 +288,11 @@ def main() -> None:
         batch = int(os.environ.get("BENCH_BATCH", "8"))
         best = bench_batch(nv, reps, rng, batch)
         metric, baseline = f"batched{batch}_mlsumcheck_prove_nv{nv}_per_proof", baseline_prove(BASELINE_ML_PROVE_S, nv)
+    elif proto == "gkr_batch":
+        nv = int(os.environ.get("BENCH_NV", "14"))
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        best = bench_gkr_batch(nv, reps, rng, batch)
+        metric, baseline = f"batched{batch}_gkr_prove_nv{nv}_per_proof", baseline_prove(BASELINE_GKR_PROVE_S, nv)
     elif proto == "ml":
         nv = int(os.environ.get("BENCH_NV", "20"))
         best, _ = bench_ml(nv, reps, rng)
