@@ -1,4 +1,8 @@
-"""BLS12-381 scalar field Fr: constants and host-side (Python int) arithmetic.
+"""The scalar field: constants and host-side (Python int) arithmetic.
+
+Default field is BLS12-381 Fr; ``SUMCHECK_TPU_FIELD`` selects another
+registered prime per process (see `_FIELDS` — any ≤255-bit prime with
+arkworks' 4x64-limb / R=2^256 shape drops in).
 
 This is the scalar field used by the reference library's tests and benches
 (reference: `Cargo.toml:28`, `src/ml_sumcheck/test.rs:13`). The reference gets
@@ -18,12 +22,29 @@ representation.
 
 from __future__ import annotations
 
-# BLS12-381 scalar field modulus (255 bits), r =
-# 52435875175126190479447740508185965837690552500527637822603658699938581184513
-P = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
-assert P == 52435875175126190479447740508185965837690552500527637822603658699938581184513
-MODULUS_BITS = 255
-MODULUS_BYTES = 32  # serialized size: ceil(255/8) -> 32 (arkworks uses limb bytes)
+import os
+
+# Field registry: any prime that fits the 16x16-bit / R=2^256 limb shape
+# arkworks uses for 4x64-limb fields. The process-wide field is chosen at
+# import time via SUMCHECK_TPU_FIELD (a config knob, not a runtime switch:
+# the constants below are baked into every compiled kernel).
+_FIELDS = {
+    # BLS12-381 scalar field (255 bits) — the reference's test/bench field
+    # (`Cargo.toml:28`), and the one pinned by the golden fixtures.
+    "bls12_381_fr": 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    # BN254 scalar field (254 bits)
+    "bn254_fr": 0x30644E72E131A029B85045B68181585D2833E84879B97091_43E1F593F0000001,
+}
+FIELD_NAME = os.environ.get("SUMCHECK_TPU_FIELD", "bls12_381_fr")
+P = _FIELDS[FIELD_NAME]
+assert P % 2 == 1 and P.bit_length() <= 255
+if FIELD_NAME == "bls12_381_fr":
+    assert P == 52435875175126190479447740508185965837690552500527637822603658699938581184513
+MODULUS_BITS = P.bit_length()
+MODULUS_BYTES = 32  # serialized size: arkworks uses limb bytes (4 x u64)
+# ark-ff UniformRand masks the top draw limb down to MODULUS_BITS
+SHAVE_BITS = 256 - MODULUS_BITS
+assert SHAVE_BITS < 32, "top-u32 shave mask assumes <= 31 shaved bits"
 
 # Montgomery constants, R = 2^256 (matches arkworks' 4x64-bit-limb R)
 R_BITS = 256

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from ..fields.fr import P, R_INV
+from ..fields.fr import P, R_INV, SHAVE_BITS
 from .blake2b_core import Blake2b512
 
 _BLOCK = 64  # Blake2b512 output size
@@ -148,7 +148,7 @@ def fr_rand(rng) -> int:
             return [_r.next_u64() for _ in range(k)]
     while True:
         limbs = draw(4)
-        limbs[3] &= (1 << 63) - 1  # shave 256 - 255 = 1 bit
+        limbs[3] &= (1 << (64 - SHAVE_BITS)) - 1  # num_bits_to_shave()
         mont = limbs[0] | (limbs[1] << 64) | (limbs[2] << 128) | (limbs[3] << 192)
         if mont < P:
             return (mont * R_INV) % P

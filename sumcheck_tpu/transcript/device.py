@@ -29,10 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.fr import NUM_DIGITS, P_DIGITS
+from ..fields.fr import NUM_DIGITS, P_DIGITS, SHAVE_BITS
 from .blake2b_core import BLOCK_BYTES, IV, SIGMA
 
 _U32 = jnp.uint32
+# ark-ff UniformRand masks the top u32 of the 256-bit draw down to MODULUS_BITS
+_SHAVE_MASK = _U32((1 << (32 - SHAVE_BITS)) - 1)
 _LO32 = (1 << 32) - 1
 
 
@@ -237,7 +239,7 @@ def fr_rand(ts: DevTranscript) -> tuple[jnp.ndarray, DevTranscript]:
             w, t = t.next_u64()
             ws.append(w)
         words = jnp.stack(ws)  # (4, 2)
-        words = words.at[3, 1].set(words[3, 1] & _U32(0x7FFFFFFF))  # shave 1 bit
+        words = words.at[3, 1].set(words[3, 1] & _SHAVE_MASK)  # num_bits_to_shave()
         digits = _words_to_digits(words)
         ok = _lt_p(digits)
         return t.carry(), digits, ok
@@ -317,7 +319,7 @@ def fr_rand_dyn(state):
             w, st = next_u64_dyn(st)
             ws.append(w)
         words = jnp.stack(ws)
-        words = words.at[3, 1].set(words[3, 1] & _U32(0x7FFFFFFF))
+        words = words.at[3, 1].set(words[3, 1] & _SHAVE_MASK)
         digits = _words_to_digits(words)
         return st, digits, _lt_p(digits)
 

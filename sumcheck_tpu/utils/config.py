@@ -11,6 +11,9 @@ Environment overrides:
 - ``SUMCHECK_TPU_PALLAS``: ``auto`` (default: fused Pallas kernel on real TPU
   backends), ``on`` (force, incl. interpret mode off-TPU), ``off`` (use the
   XLA-fused jnp engine for device rounds).
+- ``SUMCHECK_TPU_FIELD``: the process-wide prime field (import-time — the
+  constants bake into every kernel): ``bls12_381_fr`` (default) or
+  ``bn254_fr`` (`fields/fr.py:_FIELDS`).
 """
 
 from __future__ import annotations
