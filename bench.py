@@ -171,13 +171,14 @@ def bench_gkr_batch(nv: int, reps: int, rng, batch: int):
     from sumcheck_tpu.batch import BatchedGKRRoundSumcheck
 
     prnd = random.Random(11)
-    insts = []
-    while len(insts) < batch:
-        f1 = SparseMLE.rand_with_config(3 * nv, 1 << nv, prnd)
-        if insts and f1.num_nonzero != insts[0][0].num_nonzero:
-            continue  # batching needs equal nnz
-        insts.append((f1, random_mle(nv, rng), random_mle(nv, rng),
-                      [Fr(prnd.randrange(P)) for _ in range(nv)]))
+    # rand_with_config always yields exactly 2^nv distinct entries, so the
+    # equal-nnz batching requirement holds by construction
+    insts = [
+        (SparseMLE.rand_with_config(3 * nv, 1 << nv, prnd),
+         random_mle(nv, rng), random_mle(nv, rng),
+         [Fr(prnd.randrange(P)) for _ in range(nv)])
+        for _ in range(batch)
+    ]
     args = [list(t) for t in zip(*insts)]
 
     def prove():

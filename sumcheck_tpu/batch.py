@@ -192,6 +192,22 @@ def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int,
     parts = []
 
     if mesh is not None:
+        # materialize per-process with the instance-axis sharding (a plain
+        # committed array cannot be resharded onto a mesh with
+        # non-addressable devices — multi-host pods, as in parallel/chained)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        sharding = NamedSharding(mesh, Pspec("x"))
+
+        def _mk(arr):
+            a = np.asarray(arr)
+            return jax.make_array_from_callback(
+                a.shape, sharding, lambda i: a[i]
+            )
+
+        lo, hi, r = _mk(lo), _mk(hi), _mk(r)
+        state = tuple(_mk(s) for s in state)
         step = _bstep_generic_sharded(
             mesh, H, U, products, degree, Blk, "first_block"
         )
@@ -430,9 +446,8 @@ class BatchedMLSumcheck:
         B = len(polynomials)
         n = 1 << nv
 
-        for rng, poly in zip(fs_rngs, polynomials):
-            rng.feed(poly.info())
-
+        # validate BEFORE feeding: a raise below must leave the caller-owned
+        # transcripts untouched (feeding then raising would corrupt them)
         if mesh is not None:
             import numpy as _np
 
@@ -447,6 +462,11 @@ class BatchedMLSumcheck:
                 raise SumcheckError(
                     "sharded batching requires the chained generic engine"
                 )
+
+        for rng, poly in zip(fs_rngs, polynomials):
+            rng.feed(poly.info())
+
+        if mesh is not None:
             return _prove_batched_generic(fs_rngs, polynomials, degree, nv,
                                           mesh=mesh)
 
@@ -543,7 +563,7 @@ class BatchedMLSumcheck:
 
 
 @functools.lru_cache(maxsize=None)
-def _bgkr_phase1(nnz: int, dim: int):
+def _bgkr_phase1(nnz: int, dim: int, mxu: str = "off"):
     import jax
 
     from .ops.gkr_init import _phase1_pair_body
@@ -552,7 +572,7 @@ def _bgkr_phase1(nnz: int, dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _bgkr_phase2(nnz: int, dim: int):
+def _bgkr_phase2(nnz: int, dim: int, mxu: str = "off"):
     import jax
 
     from .ops.gkr_init import _phase2_pair_body
@@ -580,7 +600,8 @@ class BatchedGKRRoundSumcheck:
         from .transcript.device import DevTranscript
 
         Bn = len(f1s)
-        assert len(fs_rngs) == Bn == len(f2s) == len(f3s) == len(gs) and Bn
+        if not (Bn and len(fs_rngs) == Bn == len(f2s) == len(f3s) == len(gs)):
+            raise SumcheckError("batched GKR needs equal-length non-empty lists")
         dim = f2s[0].num_vars
         nnzs = {f1.num_nonzero for f1 in f1s}
         for f1, f2, f3 in zip(f1s, f2s, f3s):
@@ -605,7 +626,9 @@ class BatchedGKRRoundSumcheck:
         f3_bitrev = jnp.stack([f3.device_bitrev() for f3 in f3s])
         f2_bitrev = jnp.stack([f2.device_bitrev() for f2 in f2s])
 
-        lo, hi, w = _bgkr_phase1(nnz, dim)(
+        from .ops.gkr_init import _mxu_key
+
+        lo, hi, w = _bgkr_phase1(nnz, dim, _mxu_key())(
             gbits, perm_x, last_x, y_rev, vals, g_r, g_omr,
             f3_bitrev, f2_bitrev,
         )
@@ -615,7 +638,13 @@ class BatchedGKRRoundSumcheck:
 
         lifted = [lift_transcript(r) for r in fs_rngs]
         blen0 = lifted[0].blen
-        assert all(t.blen == blen0 for t in lifted)
+        if any(t.blen != blen0 for t in lifted):
+            # unequal pending-byte alignment cannot vmap in lockstep —
+            # graceful per-instance fallback, like the other mismatches
+            return [
+                GKRRoundSumcheck.prove(r, f1, f2, f3, g)
+                for r, f1, f2, f3, g in zip(fs_rngs, f1s, f2s, f3s, gs)
+            ]
         state = (
             jnp.stack([t.h for t in lifted]),
             jnp.stack([t.t for t in lifted]),
@@ -643,7 +672,7 @@ class BatchedGKRRoundSumcheck:
 
         lo, hi, r, state, parts1 = run_phase(lo, hi, r, state)
         rs1 = jnp.concatenate([rr[:, :n] for _m, rr, n in parts1], axis=1)
-        lo2, hi2 = _bgkr_phase2(nnz, dim)(
+        lo2, hi2 = _bgkr_phase2(nnz, dim, _mxu_key())(
             lo[:, :, :, :1], hi[:, :, :, :1], r,
             x, perm_y, last_y, w, rs1, f3_bitrev,
         )

@@ -52,10 +52,10 @@ R = (1 << R_BITS) % P
 R2 = (R * R) % P
 R_INV = pow(R, -1, P)
 
-# -p^{-1} mod 2^w for digit-serial Montgomery reduction.
-# p = ...00000001 hex, so p^{-1} = 1 mod 2^32 and these are all-ones.
-NINV16 = (-pow(P, -1, 1 << 16)) % (1 << 16)  # 0xFFFF
-NINV32 = (-pow(P, -1, 1 << 32)) % (1 << 32)  # 0xFFFFFFFF
+# -p^{-1} mod 2^w for digit-serial Montgomery reduction (value depends on
+# the selected field; for BLS12-381 Fr these happen to be all-ones).
+NINV16 = (-pow(P, -1, 1 << 16)) % (1 << 16)
+NINV32 = (-pow(P, -1, 1 << 32)) % (1 << 32)
 # full-width inverse for single-shot (full-word) Montgomery reduction
 NINV_FULL = (-pow(P, -1, 1 << R_BITS)) % (1 << R_BITS)
 

@@ -117,7 +117,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
         )
         nnz = int(vals_d.shape[1])
         g_r, g_omr = GI._points_arrays(list(g))
-        lo1, hi1, w = GI._compiled_phase1_pair(nnz, dim)(
+        lo1, hi1, w = GI._compiled_phase1_pair(nnz, dim, GI._mxu_key())(
             gbits_d, perm_x, last_x, yrev_d, vals_d,
             jnp.asarray(g_r), jnp.asarray(g_omr),
             f3.device_bitrev(), f2.device_bitrev(),
@@ -129,7 +129,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             lo1, hi1, state, products, 2, dim, active_pairs=H0
         )
         rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
-        lo2, hi2 = GI._compiled_phase2_pair(nnz, dim)(
+        lo2, hi2 = GI._compiled_phase2_pair(nnz, dim, GI._mxu_key())(
             pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
             x, perm_y, last_y, w, rs1_dev, f3.device_bitrev(),
         )
@@ -153,10 +153,10 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     # f2(u): the chain left every table folded dim-1 times (1 lane); one more
     # fold by the final challenge evaluates slot 1 = f2 at u.
     f2_u = GI._compiled_final_fold(1)(pair1[0], pair1[1], rs1[-1])
-    f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim)(
+    f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim, GI._mxu_key())(
         x, perm_y, last_y, w, jnp.stack(rs1)
     )
-    lo2, hi2 = GI._compiled_prep2(dim)(f1_gu, f3.device_bitrev(), f2_u)
+    lo2, hi2 = GI._compiled_prep2(dim, GI._mxu_key())(f1_gu, f3.device_bitrev(), f2_u)
 
     msgs2, rs2, carry, blen, _ = chain_rounds(
         lo2, hi2, carry, blen, products, 2, dim
@@ -208,6 +208,8 @@ class GKRProof:
             raise SerializationError("trailing bytes in GKRProof encoding")
         if len(p1) != len(p2):
             raise SerializationError("GKR phases have unequal round counts")
+        if not p1:
+            raise SerializationError("GKRProof encoding has zero rounds")
         return GKRProof(p1, p2)
 
 

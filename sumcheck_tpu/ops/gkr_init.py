@@ -132,8 +132,15 @@ def _segment_reduce_sorted(vals, perm, last_pos):
     return _finish_segment_sums(sums[:NUM_DIGITS], sums[NUM_DIGITS:])
 
 
+def _mxu_key() -> str:
+    """Current MXU mode, for keying trace-time-config-dependent caches."""
+    from ..utils.config import get_config
+
+    return get_config().mxu_mode()
+
+
 @functools.lru_cache(maxsize=None)
-def _compiled_phase1(nnz: int, dim: int):
+def _compiled_phase1(nnz: int, dim: int, mxu: str = "off"):
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev):
         w = _weight_fold(gbits, values, g_r, g_omr, dim)
         f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
@@ -145,7 +152,7 @@ def _compiled_phase1(nnz: int, dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_phase2(nnz: int, dim: int):
+def _compiled_phase2(nnz: int, dim: int, mxu: str = "off"):
     def fn(x, perm_y, last_y, w, u_r, u_omr):
         w2 = _weight_fold(x, w, u_r, u_omr, dim)
         return _segment_reduce_sorted(w2, perm_y, last_y)
@@ -165,7 +172,7 @@ def phase1_init_device_arrays(f1, f3, g: list[Fr], dim: int):
         _split_f1_device(f1, dim)
     )
     g_r, g_omr = _points_arrays(g)
-    fn = _compiled_phase1(int(vals_d.shape[1]), dim)
+    fn = _compiled_phase1(int(vals_d.shape[1]), dim, _mxu_key())
     hg, w = fn(
         gbits_d,
         perm_x,
@@ -244,7 +251,7 @@ def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
     """Device f1(g, u, .) densified: (16, 2^dim) strict, natural order."""
     x, perm_y, last_y, w = carry
     u_r, u_omr = _points_arrays(u)
-    fn = _compiled_phase2(int(x.shape[0]), dim)
+    fn = _compiled_phase2(int(x.shape[0]), dim, _mxu_key())
     return np.asarray(
         fn(x, perm_y, last_y, w, jnp.asarray(u_r), jnp.asarray(u_omr))
     )
@@ -316,12 +323,12 @@ def _phase2_pair_body(dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_phase1_pair(nnz: int, dim: int):
+def _compiled_phase1_pair(nnz: int, dim: int, mxu: str = "off"):
     return jax.jit(_phase1_pair_body(dim))
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_phase2_pair(nnz: int, dim: int):
+def _compiled_phase2_pair(nnz: int, dim: int, mxu: str = "off"):
     return jax.jit(_phase2_pair_body(dim))
 
 
@@ -351,7 +358,7 @@ def _compiled_final_fold(slot: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_phase2_digits(nnz: int, dim: int):
+def _compiled_phase2_digits(nnz: int, dim: int, mxu: str = "off"):
     """Phase-2 init from on-device challenge digits (Montgomery form)."""
 
     def fn(x, perm_y, last_y, w, u_digits):  # u_digits (dim, 16)
@@ -365,7 +372,7 @@ def _compiled_phase2_digits(nnz: int, dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_prep2(dim: int):
+def _compiled_prep2(dim: int, mxu: str = "off"):
     """[f1_gu (natural), f3 (bitrev), f2(u)] -> the phase-2 pair for
     `f1_gu * (f2(u) * f3)` (reference `mod.rs:66-82`)."""
 

@@ -63,7 +63,7 @@ def _psum_reduce_mod_p(part, axis_name: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _phase1_init_sharded(mesh, chunk: int, dim: int):
+def _phase1_init_sharded(mesh, chunk: int, dim: int, mxu: str = "off"):
     """Per-shard phase-1 init (reference `mod.rs:22-42`, sharded): local
     weight fold + f3 gather + local segment reduction, psum'd to the
     replicated dense h_g. Also returns the shard-local fixed-f1 weights `w`
@@ -97,7 +97,7 @@ def _phase1_init_sharded(mesh, chunk: int, dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _phase2_init_sharded(mesh, chunk: int, dim: int):
+def _phase2_init_sharded(mesh, chunk: int, dim: int, mxu: str = "off"):
     """Per-shard phase-2 init (reference `mod.rs:57-63`, sharded) from the
     on-device phase-1 challenge digits: local weight fold over the x bits of
     each shard's nonzeros, local segment reduction over y, psum'd to the
@@ -132,7 +132,7 @@ def _phase2_init_sharded(mesh, chunk: int, dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _prep_deal(mesh, dim: int, S: int, scaled: bool):
+def _prep_deal(mesh, dim: int, S: int, scaled: bool, mxu: str = "off"):
     """Replicated dense table(s) -> each shard's cyclically-dealt local pair
     stripes, entirely on device. `scaled` builds the phase-2 second slot
     `f2(u) * f3` (reference `mod.rs:66-82`); otherwise slot 1 is f2 as-is.
@@ -292,11 +292,12 @@ class ShardedGKRProver:
         g_r, g_omr = GI._points_arrays(list(g))
         f3_bitrev = f3.device_bitrev()
 
-        hg, w = _phase1_init_sharded(self.mesh, chunk, dim)(
+        mxu = GI._mxu_key()
+        hg, w = _phase1_init_sharded(self.mesh, chunk, dim, mxu)(
             gbits, y_rev, vals, perm_x, last_x,
             jnp.asarray(g_r), jnp.asarray(g_omr), f3_bitrev,
         )
-        lo, hi = _prep_deal(self.mesh, dim, S, False)(
+        lo, hi = _prep_deal(self.mesh, dim, S, False, mxu)(
             hg, f2.device_bitrev(), jnp.zeros((NUM_DIGITS,), jnp.uint32)
         )
 
@@ -311,10 +312,10 @@ class ShardedGKRProver:
         # f2(u): one more fold of the 1-lane final pair by the last challenge
         f2_u = GI._compiled_final_fold(1)(lo[:, :, :1], hi[:, :, :1], r)
 
-        f1_gu = _phase2_init_sharded(self.mesh, chunk, dim)(
+        f1_gu = _phase2_init_sharded(self.mesh, chunk, dim, mxu)(
             x, perm_y, last_y, w, rs1
         )
-        lo, hi = _prep_deal(self.mesh, dim, S, True)(f1_gu, f3_bitrev, f2_u)
+        lo, hi = _prep_deal(self.mesh, dim, S, True, mxu)(f1_gu, f3_bitrev, f2_u)
         lo, hi, r, state, parts2 = self._run_phase(lo, hi, dim, B, r, state)
 
         msgs_h, _rs_h, carry_h, blen = _fetch(parts1 + parts2, state, _DEGREE)

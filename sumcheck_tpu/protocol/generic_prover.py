@@ -70,11 +70,14 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
     from ..utils.config import get_config
 
     mode = get_config().mxu_mode()
+    pallas_on = _use_pallas_chain()
+    if mode == "kernel" and not pallas_on:
+        mode = "xla"  # in-kernel MXU needs the Pallas chain; keep MXU via XLA
     # "xla": MXU fold in the jnp body (XLA schedules matmul + carries);
     # "kernel": in-Pallas MXU fold (single HBM pass); "off": VPU CIOS
     return _generic_step_impl(H, num_slots, products, degree, block, variant,
                               donate, axis_name, jit,
-                              _use_pallas_chain() and mode != "xla",
+                              pallas_on and mode != "xla",
                               mode == "xla", mode == "kernel")
 
 
@@ -298,9 +301,12 @@ def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
     from ..utils.config import get_config
 
     mode = get_config().mxu_mode()
+    pallas_on = _use_pallas_chain()
+    if mode == "kernel" and not pallas_on:
+        mode = "xla"  # in-kernel MXU needs the Pallas chain; keep MXU via XLA
     return _chain_step_impl(H, num_slots, products, degree, block, donate,
                             axis_name, jit,
-                            _use_pallas_chain() and mode != "xla",
+                            pallas_on and mode != "xla",
                             mode == "xla", mode == "kernel")
 
 

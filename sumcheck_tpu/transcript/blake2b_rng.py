@@ -15,7 +15,8 @@ Reference behavior (`/root/reference/src/rng.rs`):
 
 `fr_rand` replicates ark-ff 0.4's `Distribution<Fp> for Standard`: draw 4
 u64 limbs (least-significant first, one `next_u64` each), mask the top limb to
-255 bits (`num_bits_to_shave() == 1`), reject if >= modulus — and the accepted
+MODULUS_BITS (`num_bits_to_shave()` bits shaved — 1 for 255-bit fields,
+2 for BN254), reject if >= modulus — and the accepted
 bigint IS the Montgomery representation, so the canonical value is
 `draw * R^-1 mod p`.
 """

@@ -51,6 +51,11 @@ class Config:
             return "xla"
         if self.mxu_fold == "kernel":
             return "kernel"
+        if self.mxu_fold not in ("off", "auto"):
+            raise ValueError(
+                f"SUMCHECK_TPU_MXU_FOLD={self.mxu_fold!r}: "
+                "expected off|on|xla|kernel|auto"
+            )
         return "off"
 
     def use_mxu_fold(self) -> bool:

@@ -95,15 +95,13 @@ def test_batched_gkr_matches_individual(rnd):
     from sumcheck_tpu.utils.config import get_config
 
     dim, nnz, B = 4, 1 << 4, 3
-    insts = []
-    for _ in range(B):
-        f1 = SparseMLE.rand_with_config(3 * dim, nnz, rnd)
-        if f1.num_nonzero != nnz:
-            f1 = SparseMLE.rand_with_config(3 * dim, nnz, rnd)
-        insts.append((f1, DM.rand(dim, rnd), DM.rand(dim, rnd),
-                      [Fr(rnd.randrange(P)) for _ in range(dim)]))
-    if len({f1.num_nonzero for f1, *_ in insts}) != 1:
-        pytest.skip("nonzero collision made nnz unequal")
+    # rand_with_config always yields exactly nnz distinct entries
+    insts = [
+        (SparseMLE.rand_with_config(3 * dim, nnz, rnd),
+         DM.rand(dim, rnd), DM.rand(dim, rnd),
+         [Fr(rnd.randrange(P)) for _ in range(dim)])
+        for _ in range(B)
+    ]
 
     cfg = get_config()
     old = (cfg.engine, cfg.chained, cfg.device_threshold, cfg.chain_impl)

@@ -132,3 +132,5 @@ def test_gkr_proof_serde_round_trip(rnd):
         GKRProof.deserialize_uncompressed(blob + b"\x00")
     with pytest.raises(SerializationError):
         GKRProof.deserialize_uncompressed(blob[:-1])
+    with pytest.raises(SerializationError):
+        GKRProof.deserialize_uncompressed(bytes(16))  # zero rounds

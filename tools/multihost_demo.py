@@ -83,7 +83,11 @@ print(f"proc {pid}: gkr {hashlib.blake2b(digest.encode()).hexdigest()}", flush=T
 
 def main() -> None:
     nv = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    port = "52431"
+    import socket
+
+    with socket.socket() as sock:  # ephemeral free port: CI-collision-proof
+        sock.bind(("127.0.0.1", 0))
+        port = str(sock.getsockname()[1])
 
     # expected bytes: same instance through the single-process host engine
     import random

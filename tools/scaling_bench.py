@@ -154,6 +154,7 @@ def _batch_rows(nv: int, B: int = 8):
         poly.add_product([ms[0], ms[2]], Fr(rnd.randrange(P)))
         polys.append(poly)
     cfg = get_config()
+    saved = (cfg.chained, cfg.device_threshold, cfg.chain_impl)
     cfg.chained, cfg.device_threshold, cfg.chain_impl = "on", 1, "generic"
 
     def mk(ndev):
@@ -162,7 +163,10 @@ def _batch_rows(nv: int, B: int = 8):
             serialize_proof(p) for p in BatchedMLSumcheck.prove(polys, mesh=mesh)
         ])
 
-    return _measure(mk, [1, 2, 4, 8])
+    try:
+        return _measure(mk, [1, 2, 4, 8])
+    finally:
+        cfg.chained, cfg.device_threshold, cfg.chain_impl = saved
 
 
 def main() -> None:
