@@ -70,6 +70,12 @@ cfg = get_config()
 cfg.engine, cfg.chained, cfg.chain_impl = "device", "on", "generic"
 dproof = MLSumcheck.prove(poly)
 assert serialize_proof(dproof) == serialize_proof(proof), "device != host"
+
+# sharded path (replicated device transcript + psum under new constants)
+from sumcheck_tpu.parallel.chained import ChainedShardedProver
+
+sproof = ChainedShardedProver.auto(4).prove(poly)
+assert serialize_proof(sproof) == serialize_proof(proof), "sharded != host"
 cfg.engine = "host"
 
 # GKR round-trip
@@ -96,7 +102,7 @@ def test_bn254_field_end_to_end():
     env = dict(os.environ)
     env["SUMCHECK_TPU_FIELD"] = "bn254_fr"
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     out = subprocess.run(
         [sys.executable, "-c", _CHILD % {"r": _BN254_R}],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
