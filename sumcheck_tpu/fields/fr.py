@@ -98,7 +98,8 @@ def fr_from_bytes(b: bytes) -> int:
 
 
 class Fr:
-    """A BLS12-381 scalar field element (canonical residue, host-side).
+    """A scalar field element of the configured field (canonical residue,
+    host-side; BLS12-381 Fr by default).
 
     Mirrors the `ark_ff::Field` surface the reference consumes
     (SURVEY.md L0): + - * / neg, zero/one, `Fr.rand(rng)`, `Fr(int)`.

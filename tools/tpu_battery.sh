@@ -37,6 +37,9 @@ BENCH_PROTO=sweep run sweep 7200 python -u bench.py
 run gkr_profile_18 1200 python -u tools/gkr_profile.py 18
 run gkr_profile_20 1200 python -u tools/gkr_profile.py 20
 
+# 4b. batched GKR throughput
+BENCH_PROTO=gkr_batch BENCH_NV=14 run gkr_batch 1200 python -u bench.py
+
 # 5. cold-compile wall (moves cache aside, restores after)
 run cold_compile 1800 python -u tools/cold_compile_check.py 20
 
