@@ -200,6 +200,17 @@ def _ml_sol(nv: int, roofline) -> dict:
     return sol_seconds(count_prove_ops(nv, 6, 2, 3, 3), roofline)
 
 
+def _engine_label(nv: int) -> str:
+    """Which prover path this size resolves to (artifact transparency)."""
+    from sumcheck_tpu.utils.config import get_config
+
+    cfg = get_config()
+    n = 1 << nv
+    if cfg.use_chained(n):
+        return "chained-device"
+    return "device" if cfg.use_device(n) else "host-numpy"
+
+
 def bench_sweep(reps: int, rng):
     from sumcheck_tpu.utils.sol import measure_roofline
 
@@ -212,7 +223,7 @@ def bench_sweep(reps: int, rng):
         prove_s, verify_s = bench_ml(nv, reps, rng)
         sol = _ml_sol(nv, roofline)
         rows.append({
-            "proto": "ml", "nv": nv,
+            "proto": "ml", "nv": nv, "engine": _engine_label(nv),
             "prove_s": round(prove_s, 6), "verify_s": round(verify_s, 6),
             "vs_baseline_prove": round(baseline_prove(BASELINE_ML_PROVE_S, nv) / prove_s, 3),
             "vs_baseline_verify": round(baseline_ml_verify(nv) / verify_s, 3),
@@ -226,7 +237,7 @@ def bench_sweep(reps: int, rng):
         prove_s, verify_s = bench_gkr(nv, reps, rng)
         sol = sol_seconds(count_gkr_prove_ops(nv, 1 << nv), roofline)
         rows.append({
-            "proto": "gkr", "nv": nv,
+            "proto": "gkr", "nv": nv, "engine": _engine_label(nv),
             "prove_s": round(prove_s, 6), "verify_s": round(verify_s, 6),
             "vs_baseline_prove": round(baseline_prove(BASELINE_GKR_PROVE_S, nv) / prove_s, 3),
             "vs_baseline_verify": round(baseline_gkr_verify(nv) / verify_s, 3),
