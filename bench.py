@@ -287,7 +287,34 @@ def bench_all(reps: int, rng):
     return "mlsumcheck_prove_nv20_wallclock", ml_prove, BASELINE_ML_PROVE_S[20]
 
 
+def _require_backend(timeout_s: int = 240) -> None:
+    """Fail fast (clear rc + note) instead of hanging forever when the
+    tunneled TPU backend is unreachable — `jax.devices()` blocks
+    indefinitely on a dead tunnel."""
+    import threading
+
+    found: list = []
+
+    def probe():
+        import jax
+
+        found.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not found:
+        print(
+            f"# FATAL: backend unreachable after {timeout_s}s (tunnel down?) "
+            "— no measurement possible",
+            file=sys.stderr,
+        )
+        os._exit(3)
+    print(f"# backend: {found[0]}", file=sys.stderr)
+
+
 def main() -> None:
+    _require_backend()
     proto = os.environ.get("BENCH_PROTO", "all")
     reps = int(os.environ.get("BENCH_REPS", "3"))
     rng = np.random.default_rng(42)
