@@ -123,12 +123,27 @@ class Blake2b512Rng:
         hot path: `fr_rand` burns 4 draws per attempt, and the function-call
         and bytearray overhead of `next_u64`->`fill_bytes` is ~70% of it."""
         h = self._h
+        copy, update = h.copy, h.update
         out = []
+        append = out.append
         for _ in range(k):
-            block = h.copy().digest()
-            out.append(int.from_bytes(block[:8], "little"))
-            h.update(block)
+            block = copy().digest()
+            append(int.from_bytes(block[:8], "little"))
+            update(block)
         return out
+
+    def next_u64s_bytes(self, k: int) -> bytes:
+        """The k draws' little-endian bytes, concatenated (fast path for
+        `fr_rand`: one 32-byte int parse instead of four shifts)."""
+        h = self._h
+        copy, update = h.copy, h.update
+        chunks = []
+        append = chunks.append
+        for _ in range(k):
+            block = copy().digest()
+            append(block[:8])
+            update(block)
+        return b"".join(chunks)
 
     # --- device interop -------------------------------------------------
     def state_tuple(self):
@@ -140,9 +155,19 @@ class Blake2b512Rng:
         self._h = Blake2b512.from_state(h, t, buf)
 
 
+# 256-bit draw -> masked to MODULUS_BITS (`num_bits_to_shave()` top bits)
+_DRAW_MASK = (1 << (256 - SHAVE_BITS)) - 1
+
+
 def fr_rand(rng) -> int:
     """Sample a uniform Fr exactly as `ark_ff::UniformRand` does; returns the
     canonical residue as a Python int."""
+    fast = getattr(rng, "next_u64s_bytes", None)
+    if fast is not None:
+        while True:
+            mont = int.from_bytes(fast(4), "little") & _DRAW_MASK
+            if mont < P:
+                return (mont * R_INV) % P
     draw = getattr(rng, "next_u64s", None)
     if draw is None:  # duck-typed external FeedableRNG without the fast path
         def draw(k, _r=rng):
