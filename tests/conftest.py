@@ -9,9 +9,12 @@ device (JAX) round path gets exercised at small, fast-to-compile sizes.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests keep their OWN persistent cache: a test process killed mid-write
+# must never corrupt the bench cache (a truncated entry once SEGFAULTED the
+# zstd read path in jax's compilation_cache during a later run)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
