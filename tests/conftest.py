@@ -9,12 +9,17 @@ device (JAX) round path gets exercised at small, fast-to-compile sizes.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# tests keep their OWN persistent cache: a test process killed mid-write
-# must never corrupt the bench cache (a truncated entry once SEGFAULTED the
-# zstd read path in jax's compilation_cache during a later run)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu"),
+# tests use a PER-RUN compile cache: XLA:CPU AOT entries in this container
+# are compiled with machine features the host doesn't fully support
+# (cpu_aot_loader warns "could lead to execution errors such as SIGILL"),
+# and deserializing certain cross-process entries reproducibly SEGFAULTS
+# (observed twice on the 8-device sharded-GKR program). In-process reuse is
+# safe; cross-process reuse of CPU entries is not. The TPU bench cache
+# (.jax_cache) is unaffected — its entries are platform-keyed.
+import tempfile
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="jaxcache-test-"
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -126,7 +126,11 @@ def main() -> None:
     expected_gkr = hashlib.blake2b(digest.encode()).hexdigest()
 
     code = _WORKER % {"repo": REPO}
+    import tempfile
+
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # per-run CPU compile cache (cross-process AOT reuse can SIGSEGV here)
+    env["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(prefix="jaxcache-mh-")
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", "-c", code, str(i), str(nv), port],
