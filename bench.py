@@ -4,7 +4,13 @@ Modes (BENCH_PROTO):
   all     (default) the driver-captured set: ML nv=20 (headline line),
           GKR nv=18 (BASELINE config 3), batched nv=16 (config 4). Extra
           results land in BENCH_EXTRA.json; the ONE printed JSON line is the
-          ML nv=20 headline.
+          ML nv=20 headline — printed and flushed IMMEDIATELY after the ML
+          measurement, before any extra runs, so a driver timeout during the
+          extras can never lose the headline (round-2 postmortem: rc=124,
+          parsed=null). Extras run under an internal deadline
+          (BENCH_DEADLINE_S, default 1500 s of total process wall) and each
+          one is skipped — with the skip recorded in BENCH_EXTRA.json —
+          when the remaining budget cannot fit it.
   ml      MLSumcheck prove, 2 products x 3 multiplicands (degree-3 rounds) —
           reference `sumcheck-benches/benches/ml_sumcheck_bench.rs:21-31`.
   gkr     GKRRoundSumcheck prove, sparse f1 with 2^nv nonzeros over 3nv vars —
@@ -219,6 +225,13 @@ def bench_sweep(reps: int, rng):
     roofline = measure_roofline()
     print(f"# roofline: {roofline}", file=sys.stderr)
     rows = []
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SWEEP.json")
+
+    def flush_rows():
+        # incremental: a timeout mid-sweep keeps every row measured so far
+        with open(path, "w") as f:
+            json.dump({"roofline": roofline, "rows": rows}, f, indent=1)
+
     for nv in range(lo, hi):
         prove_s, verify_s = bench_ml(nv, reps, rng)
         sol = _ml_sol(nv, roofline)
@@ -231,6 +244,7 @@ def bench_sweep(reps: int, rng):
             "pct_sol": round(100 * sol["sol_s"] / prove_s, 2),
         })
         print(f"# {rows[-1]}", file=sys.stderr)
+        flush_rows()
     from sumcheck_tpu.utils.sol import count_gkr_prove_ops, sol_seconds
 
     for nv in range(lo, hi):
@@ -245,46 +259,96 @@ def bench_sweep(reps: int, rng):
             "pct_sol": round(100 * sol["sol_s"] / prove_s, 2),
         })
         print(f"# {rows[-1]}", file=sys.stderr)
-    out = {"roofline": roofline, "rows": rows}
-    path = os.path.join(os.path.dirname(__file__), "BENCH_SWEEP.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        flush_rows()
     print(f"# wrote {path}", file=sys.stderr)
     ml20 = next(r for r in rows if r["proto"] == "ml" and r["nv"] == 20)
     return "mlsumcheck_prove_nv20_wallclock", ml20["prove_s"], BASELINE_ML_PROVE_S[20]
 
 
+_T_START = time.perf_counter()
+
+
+def _remaining_s() -> float:
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    return deadline - (time.perf_counter() - _T_START)
+
+
+def _emit_headline(metric: str, best: float, baseline: float) -> None:
+    """Print + flush the ONE driver-parsed JSON line NOW (nothing that runs
+    after this call can lose the capture)."""
+    vs = (baseline / best) if baseline else None
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best, 6),
+        "unit": "s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }), flush=True)
+
+
 def bench_all(reps: int, rng):
     extra = {}
+    path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+
+    def flush_extra():
+        # incremental artifact writes: a timeout mid-extras keeps every
+        # result measured so far
+        with open(path, "w") as f:
+            json.dump(extra, f, indent=1)
+
+    ml_warm_t0 = time.perf_counter()
     ml_prove, ml_verify = bench_ml(20, reps, rng)
+    ml_total = time.perf_counter() - ml_warm_t0
+    # THE headline — out the door before any extra can time the process out
+    _emit_headline(
+        "mlsumcheck_prove_nv20_wallclock", ml_prove, BASELINE_ML_PROVE_S[20]
+    )
     extra["ml_nv20"] = {
         "prove_s": round(ml_prove, 6), "verify_s": round(ml_verify, 6),
         "vs_baseline_prove": round(BASELINE_ML_PROVE_S[20] / ml_prove, 3),
         "vs_baseline_verify": round(baseline_ml_verify(20) / ml_verify, 3),
     }
-    try:
-        gkr_prove, gkr_verify = bench_gkr(18, reps, rng)
-        extra["gkr_nv18"] = {
-            "prove_s": round(gkr_prove, 6), "verify_s": round(gkr_verify, 6),
-            "vs_baseline_prove": round(BASELINE_GKR_PROVE_S[18] / gkr_prove, 3),
-            "vs_baseline_verify": round(baseline_gkr_verify(18) / gkr_verify, 3),
-        }
-    except Exception as e:  # noqa: BLE001 — record, don't lose the headline
-        extra["gkr_nv18"] = {"error": repr(e)}
-    try:
-        batch = int(os.environ.get("BENCH_BATCH", "8"))
-        per = bench_batch(16, reps, rng, batch)
-        extra[f"batch{batch}_nv16"] = {
-            "prove_s_per_proof": round(per, 6),
-            "vs_baseline": round(BASELINE_ML_PROVE_S[16] / per, 3),
-        }
-    except Exception as e:  # noqa: BLE001
-        extra["batch_nv16"] = {"error": repr(e)}
-    path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
-    with open(path, "w") as f:
-        json.dump(extra, f, indent=1)
+    flush_extra()
+
+    # Extras: each needs warmup (compile on a cold cache) + reps. Budget each
+    # at the larger of 4x the ML segment and 180 s — if the cache was cold for
+    # ML, it will be cold (and slow) here too; skip rather than hang the
+    # driver.
+    def fits(label: str) -> bool:
+        need = max(4 * ml_total, 180.0)
+        rem = _remaining_s()
+        if rem < need:
+            extra[label] = {
+                "skipped": f"deadline: {rem:.0f}s left < {need:.0f}s budget"
+            }
+            flush_extra()
+            print(f"# skip {label}: {extra[label]['skipped']}", file=sys.stderr)
+            return False
+        return True
+
+    if fits("gkr_nv18"):
+        try:
+            gkr_prove, gkr_verify = bench_gkr(18, reps, rng)
+            extra["gkr_nv18"] = {
+                "prove_s": round(gkr_prove, 6), "verify_s": round(gkr_verify, 6),
+                "vs_baseline_prove": round(BASELINE_GKR_PROVE_S[18] / gkr_prove, 3),
+                "vs_baseline_verify": round(baseline_gkr_verify(18) / gkr_verify, 3),
+            }
+        except Exception as e:  # noqa: BLE001 — record, don't lose the rest
+            extra["gkr_nv18"] = {"error": repr(e)}
+        flush_extra()
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    if fits(f"batch{batch}_nv16"):
+        try:
+            per = bench_batch(16, reps, rng, batch)
+            extra[f"batch{batch}_nv16"] = {
+                "prove_s_per_proof": round(per, 6),
+                "vs_baseline": round(BASELINE_ML_PROVE_S[16] / per, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            extra[f"batch{batch}_nv16"] = {"error": repr(e)}
+        flush_extra()
     print(f"# wrote {path}: {json.dumps(extra)}", file=sys.stderr)
-    return "mlsumcheck_prove_nv20_wallclock", ml_prove, BASELINE_ML_PROVE_S[20]
+    return None
 
 
 def _require_backend(timeout_s: int = 240) -> None:
@@ -339,18 +403,9 @@ def main() -> None:
     elif proto == "sweep":
         metric, best, baseline = bench_sweep(reps, rng)
     else:
-        metric, best, baseline = bench_all(reps, rng)
-    vs = (baseline / best) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(best, 6),
-                "unit": "s",
-                "vs_baseline": round(vs, 3) if vs else None,
-            }
-        )
-    )
+        bench_all(reps, rng)  # prints (and flushes) the headline line itself
+        return
+    _emit_headline(metric, best, baseline)
 
 
 if __name__ == "__main__":

@@ -93,61 +93,68 @@ def check_and_generate_subclaim(verifier_state: VerifierState, asserted_sum: Fr)
     """All deferred soundness checks (reference `verifier.rs:90-121`).
     Raises `Reject` on inconsistency — the only soundness rejection site.
 
-    The per-round interpolations share ONE batched modular inversion across
-    the whole proof (each round needs 1/(r_i - j) denominators; they depend
-    only on the challenges and arrive all at once in this lazy design) —
-    results are identical to per-round `interpolate_uni_poly`, the inversion
-    `pow` just amortizes nv-fold."""
+    The per-round interpolations run INVERSION-FREE: the Lagrange numerators
+    `prod_{j!=i} (r - j)` come from prefix/suffix products and the node
+    denominators `1/(i! (n-1-i)! (-1)^(n-1-i))` are per-degree constants
+    (cached) — no runtime `pow`/inversion at all. Results are identical to
+    the reference's running-ratio recurrence (`verifier.rs:191-248`); the
+    unique interpolant doesn't care how it's evaluated."""
     if not verifier_state.finished:
         raise SumcheckError("Verifier has not finished.")
     if len(verifier_state.polynomials_received) != verifier_state.nv:
         raise SumcheckError("insufficient rounds")
-    preps = []
-    all_denoms = []
+    expected = asserted_sum
+    want = verifier_state.max_multiplicands + 1
+    if want <= 36 and all(
+        len(ev) == want for ev in verifier_state.polynomials_received
+    ):
+        native = _native_check()
+        if native is not None:  # whole check loop in one C call
+            rc, final = native(
+                verifier_state.polynomials_received,
+                verifier_state.randomness, asserted_sum.v, want
+            )
+            if rc < 0:
+                raise Reject("Prover message is not consistent with the claim.")
+            return SubClaim(list(verifier_state.randomness), Fr(final))
     for i in range(verifier_state.nv):
         evaluations = verifier_state.polynomials_received[i]
-        prep = _interp_prepare([e.v for e in evaluations],
-                               verifier_state.randomness[i].v)
-        preps.append(prep)
-        if prep[0] == "full":
-            all_denoms.extend(prep[2])
-    invs = _batch_inverse_int(all_denoms) if all_denoms else []
-    pos = 0
-    expected = asserted_sum
-    for i, prep in enumerate(preps):
-        evaluations = verifier_state.polynomials_received[i]
         # checks stay in the reference's per-round order (`verifier.rs:104-113`)
-        if len(evaluations) != verifier_state.max_multiplicands + 1:
+        if len(evaluations) != want:
             raise SumcheckError("incorrect number of evaluations")
-        if evaluations[0] + evaluations[1] != expected:
+        if (evaluations[0].v + evaluations[1].v - expected.v) % _P:
             raise Reject("Prover message is not consistent with the claim.")
-        if prep[0] == "early":
-            expected = Fr(prep[1])
-        else:
-            _tag, prod, denoms, p_vals = prep
-            n = len(p_vals)
-            consts = _lagrange_consts(n)
-            acc = 0
-            for k in range(n):
-                acc = (acc + p_vals[k] * consts[k] * invs[pos + k]) % _P
-            pos += n
-            expected = Fr(prod * acc)
+        expected = Fr(
+            _interp_eval_int(
+                [e.v for e in evaluations], verifier_state.randomness[i].v
+            )
+        )
     return SubClaim(list(verifier_state.randomness), expected)
 
 
-def _interp_prepare(p_vals: list[int], eval_at: int):
-    """Phase 1 of interpolation: early-return detection, the (eval_at - j)
-    factors, and their running product — everything except the inversion."""
+def _interp_eval_int(p_vals: list[int], eval_at: int) -> int:
+    """Evaluate the unique degree-<n interpolant through `(j, p_vals[j])`
+    at `eval_at` — raw ints, zero inversions (see the caller's docstring).
+    Runs in the native field core when available (identical results; CPython
+    bigint multiplies were the verifier's top cost after the transcript
+    moved to C)."""
     n = len(p_vals)
     if eval_at < n:  # challenge hit an integer node (reference early return)
-        return ("early", p_vals[eval_at])
-    denoms = []
-    prod = 1
-    for j in range(n):
-        d = (eval_at - j) % _P
-        denoms.append(d)
-        prod = prod * d % _P
-    return ("full", prod, denoms, p_vals)
+        return p_vals[eval_at]
+    native = _native_interp()
+    if native is not None and n <= 36:
+        return native(p_vals, eval_at, n)
+    facs = [(eval_at - j) % _P for j in range(n)]
+    suf = [1] * n  # suffix products of facs
+    for i in range(n - 2, -1, -1):
+        suf[i] = suf[i + 1] * facs[i + 1] % _P
+    consts = _lagrange_consts(n)
+    acc = 0
+    pre = 1  # running prefix product of facs
+    for i in range(n):
+        acc = (acc + p_vals[i] * consts[i] % _P * pre * suf[i]) % _P
+        pre = pre * facs[i] % _P
+    return acc
 
 
 def sample_round(rng) -> VerifierMsg:
@@ -158,41 +165,117 @@ def sample_round(rng) -> VerifierMsg:
 
 def interpolate_uni_poly(p_i: list[Fr], eval_at: Fr) -> Fr:
     """Evaluate at `eval_at` the unique polynomial of degree < len(p_i) whose
-    value at x = j is p_i[j] (reference `verifier.rs:139-251`)."""
-    n = len(p_i)
-    evals = [eval_at]  # eval_at - j for j = 0..n-1
-    prod = eval_at
-    check = Fr.zero()
-    for i in range(1, n):
-        if eval_at == check:
-            return p_i[i - 1]
-        check = check + Fr.one()
-        tmp = eval_at - check
-        evals.append(tmp)
-        prod = prod * tmp
-    if eval_at == check:
-        return p_i[n - 1]
+    value at x = j is p_i[j] (reference `verifier.rs:139-251`).
 
-    # res = sum_i p_i[i] * prod_j (eval_at - j) / ((eval_at - i) * prod_{j!=i} (i-j))
-    #     = prod * sum_i p_i[i] * C_i / evals[i],
-    # with Lagrange constants C_i = 1 / (i! * (n-1-i)! * (-1)^(n-1-i)).
-    # Algebraically identical to the reference's running-ratio recurrence
-    # (`verifier.rs:191-248`; its three integer-width branches are a CPU
-    # optimization with identical field results). C_i is cached per degree
-    # and the per-term divisions are replaced by one batched inversion
-    # (Montgomery's trick), so each call costs a single modular inversion.
-    # raw-int inner loop: the verifier is pure Python and this path runs
-    # nv times per verify — skipping the Fr wrapper (a __mod__ per op)
-    # roughly halves its cost
-    consts = _lagrange_consts(n)
-    invs = _batch_inverse_int([e.v for e in evals])
-    acc = 0
-    for i in range(n):
-        acc = (acc + p_i[i].v * consts[i] * invs[i]) % _P
-    return Fr(prod.v * acc)
+    Inversion-free Lagrange form: `sum_i p_i[i] * C_i * prod_{j!=i}
+    (eval_at - j)` with cached per-degree constants
+    `C_i = 1/(i! (n-1-i)! (-1)^(n-1-i))` and the numerators from
+    prefix/suffix products. Algebraically identical to the reference's
+    running-ratio recurrence (`verifier.rs:191-248`; its three integer-width
+    branches are a CPU optimization with identical field results)."""
+    return Fr(_interp_eval_int([e.v for e in p_i], eval_at.v))
 
 
 _P = P
+
+_native_state: list = [None]  # [resolved ctx] — None until first use
+
+
+def _native_ctx():
+    """(lib, field constant arrays, cached Montgomery Lagrange consts) for
+    the C verifier entry points, or None. Lazy: the library builds on first
+    transcript/verifier use."""
+    st = _native_state[0]
+    if st is not None:
+        return st if st is not False else None
+    import ctypes
+
+    from ..fields.fr import R, R2
+    from ..native import lib
+
+    L = lib()
+    if L is None:
+        _native_state[0] = False
+        return None
+    M64 = (1 << 64) - 1
+
+    def limbs4(x: int):
+        return (ctypes.c_uint64 * 4).from_buffer_copy(x.to_bytes(32, "little"))
+
+    consts_cache: dict = {}
+
+    def consts_mont(n: int):
+        cm = consts_cache.get(n)
+        if cm is None:
+            cm = (ctypes.c_uint64 * (4 * n)).from_buffer_copy(
+                b"".join(
+                    (c * R % P).to_bytes(32, "little")
+                    for c in _lagrange_consts(n)
+                )
+            )
+            consts_cache[n] = cm
+        return cm
+
+    st = {
+        "lib": L,
+        "limbs4": limbs4,
+        "consts_mont": consts_mont,
+        "p": limbs4(P),
+        "r2": limbs4(R2),
+        "ninv0": ctypes.c_uint64((-pow(P, -1, 1 << 64)) % (1 << 64)),
+        "out": ctypes.create_string_buffer(32),
+        "ctypes": ctypes,
+    }
+    _native_state[0] = st
+    return st
+
+
+def _native_interp():
+    """Bound native single-interpolation entry (or None)."""
+    st = _native_ctx()
+    if st is None:
+        return None
+    ct, L, out = st["ctypes"], st["lib"], st["out"]
+
+    def call(p_vals: list[int], eval_at: int, n: int) -> int:
+        vals = (ct.c_uint64 * (4 * n)).from_buffer_copy(
+            b"".join(v.to_bytes(32, "little") for v in p_vals)
+        )
+        rc = L.fr_interp_eval(vals, n, st["limbs4"](eval_at),
+                              st["consts_mont"](n), st["p"], st["ninv0"],
+                              st["r2"], out)
+        if rc != 0:  # n out of range — callers bound n, but be safe
+            raise ValueError("fr_interp_eval rejected n")
+        return int.from_bytes(out.raw, "little")
+
+    return call
+
+
+def _native_check():
+    """Bound native whole-proof check loop (or None): one C call runs every
+    round's consistency check + interpolation (`fr_check_rounds`)."""
+    st = _native_ctx()
+    if st is None:
+        return None
+    ct, L, out = st["ctypes"], st["lib"], st["out"]
+
+    def call(rounds: list[list[Fr]], randomness: list[Fr], asserted: int,
+             d1: int):
+        nv = len(rounds)
+        evals = (ct.c_uint64 * (4 * d1 * nv)).from_buffer_copy(
+            b"".join(
+                e.v.to_bytes(32, "little") for ev in rounds for e in ev
+            )
+        )
+        rands = (ct.c_uint64 * (4 * nv)).from_buffer_copy(
+            b"".join(r.v.to_bytes(32, "little") for r in randomness)
+        )
+        rc = L.fr_check_rounds(evals, nv, d1, rands,
+                               st["limbs4"](asserted), st["consts_mont"](d1),
+                               st["p"], st["ninv0"], st["r2"], out)
+        return rc, int.from_bytes(out.raw, "little")
+
+    return call
 
 
 def _lagrange_consts(n: int, _cache: dict = {}) -> list[int]:
@@ -209,17 +292,3 @@ def _lagrange_consts(n: int, _cache: dict = {}) -> list[int]:
     return out
 
 
-def _batch_inverse_int(xs: list[int]) -> list[int]:
-    """Montgomery's trick: n inversions for one `pow` plus 3(n-1) multiplies."""
-    prefix = []
-    acc = 1
-    for x in xs:
-        acc = acc * x % _P
-        prefix.append(acc)
-    inv = pow(acc, -1, _P)
-    out = [0] * len(xs)
-    for i in range(len(xs) - 1, 0, -1):
-        out[i] = inv * prefix[i - 1] % _P
-        inv = inv * xs[i] % _P
-    out[0] = inv
-    return out
