@@ -27,9 +27,11 @@ if _jax.config.jax_compilation_cache_dir is None:
 
 from .data_structures import ListOfProductsOfPolynomials, PolynomialInfo
 from .fields.fr import Fr
+from .fields.generic import Field, FieldEl, default_field, get_field
 from .gkr_round_sumcheck import GKRProof, GKRRoundSumcheck, GKRRoundSumcheckSubClaim
 from .ml_sumcheck import MLSumcheck
 from .mle import DenseMLE, SparseMLE
+from .portable import PortableDenseMLE, PortableSparseMLE
 from .protocol import IPForMLSumcheck
 from .transcript.blake2b_rng import Blake2b512Rng
 from .utils.errors import Reject, SumcheckError
@@ -39,7 +41,13 @@ __version__ = "0.1.0"
 __all__ = [
     "Blake2b512Rng",
     "DenseMLE",
+    "Field",
+    "FieldEl",
     "Fr",
+    "PortableDenseMLE",
+    "PortableSparseMLE",
+    "default_field",
+    "get_field",
     "GKRProof",
     "GKRRoundSumcheck",
     "GKRRoundSumcheckSubClaim",

@@ -51,9 +51,25 @@ class ListOfProductsOfPolynomials:
     `products` holds `(coefficient: Fr, [indices into
     flattened_ml_extensions])`; identical `DenseMLE` objects (by `id()`, the
     analog of the reference's `Rc` pointer identity) are deduplicated.
+
+    `field` promotes the field choice to the constructor (the reference is
+    generic over `F: Field`, `ml_sumcheck/mod.rs:19`): `None` or the process
+    default -> this fast-path class (compiled TPU engines); any other
+    `fields.generic.Field` -> a `portable.PortableListOfProducts` over that
+    field is returned instead, served by the portable host engine.
     """
 
-    def __init__(self, num_variables: int):
+    def __new__(cls, num_variables: int, field=None):
+        if field is not None and not field.is_default:
+            from .portable import PortableListOfProducts
+
+            return PortableListOfProducts(num_variables, field)
+        return super().__new__(cls)
+
+    def __init__(self, num_variables: int, field=None):
+        from .fields.generic import default_field
+
+        self.field = default_field()
         self.max_multiplicands = 0
         self.num_variables = num_variables
         self.products: list[tuple[Fr, list[int]]] = []

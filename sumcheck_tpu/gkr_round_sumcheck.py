@@ -244,6 +244,10 @@ class GKRRoundSumcheck:
         rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE, g: Sequence[Fr]
     ) -> GKRProof:
         """Caller supplies the transcript RNG (unlike `MLSumcheck.prove`)."""
+        from .portable import PortableDenseMLE, gkr_prove
+
+        if isinstance(f2, PortableDenseMLE):  # per-instance generic field
+            return gkr_prove(rng, f1, f2, f3, g)
         assert f1.num_vars == 3 * f2.num_vars
         assert f1.num_vars == 3 * f3.num_vars
         dim = f2.num_vars
@@ -309,6 +313,11 @@ class GKRRoundSumcheck:
         """Two chained degree-2 verification passes; phase 2's claimed sum is
         phase 1's expected evaluation (reference `mod.rs:147-192`).
         Raises `Reject` on inconsistency."""
+        f = getattr(claimed_sum, "f", None)  # FieldEl -> its generic field
+        if f is not None and not f.is_default:
+            from .portable import gkr_verify
+
+            return gkr_verify(rng, f, f2_num_vars, proof, claimed_sum)
         dim = f2_num_vars
 
         phase1_vs = IPForMLSumcheck.verifier_init(

@@ -100,6 +100,11 @@ class MLSumcheck:
         bytes are identical either way."""
         from .utils.config import get_config
 
+        field = getattr(polynomial, "field", None)
+        if field is not None and not field.is_default:
+            from .portable import prove_as_subprotocol as portable_prove
+
+            return portable_prove(fs_rng, polynomial)
         fs_rng.feed(polynomial.info())
         cfg = get_config()
         if (
@@ -139,6 +144,13 @@ class MLSumcheck:
         fs_rng, polynomial_info: PolynomialInfo, claimed_sum: Fr, proof: list[ProverMsg]
     ) -> SubClaim:
         """Verify over a caller-supplied transcript (reference `mod.rs:84-100`)."""
+        f = getattr(claimed_sum, "f", None)  # FieldEl -> its generic field
+        if f is not None and not f.is_default:
+            from .portable import verify_as_subprotocol as portable_verify
+
+            return portable_verify(
+                fs_rng, f, polynomial_info, claimed_sum, proof
+            )
         fs_rng.feed(polynomial_info)
         verifier_state = IPForMLSumcheck.verifier_init(polynomial_info)
         for i in range(polynomial_info.num_variables):

@@ -33,8 +33,11 @@ from ..fields.fr import NUM_DIGITS, P_DIGITS, SHAVE_BITS
 from .blake2b_core import BLOCK_BYTES, IV, SIGMA
 
 _U32 = jnp.uint32
-# ark-ff UniformRand masks the top u32 of the 256-bit draw down to MODULUS_BITS
-_SHAVE_MASK = _U32((1 << (32 - SHAVE_BITS)) - 1)
+# ark-ff UniformRand masks the top u32 of the 256-bit draw down to MODULUS_BITS.
+# np (NOT jnp): a module-level jnp scalar is a DEVICE array created eagerly at
+# import; captured in traces, it forces lowering to block on a device fetch
+# (measured: one such fetch through a busy tunnel stalled lowering ~9 min).
+_SHAVE_MASK = np.uint32((1 << (32 - SHAVE_BITS)) - 1)
 _LO32 = (1 << 32) - 1
 
 
