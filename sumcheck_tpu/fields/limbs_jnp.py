@@ -116,52 +116,104 @@ def _cios_body(a, bj, rows, zero):
     return rows
 
 
-def _cios_fori(a, b_rows, bshape):
+def _cios_fori(a, b_rows, bshape, unroll: int = 1):
     """CIOS with the outer digit loop as `lax.fori_loop`. Functionally
-    identical to the unrolled form but with a 16x smaller trace — XLA:CPU's
-    compile time explodes on the long unrolled carry chains (hours for two
-    chained multiplies), and CPU is the test/verify backend, not the perf
-    target. b_rows: (16, *bshape) array of b's digit rows."""
+    identical to the unrolled form but with an up-to-16x smaller trace —
+    XLA:CPU's compile time explodes on the long unrolled carry chains (hours
+    for two chained multiplies), and on the 1-core tunneled-TPU host the
+    trace+lower+compile of the fully-unrolled round programs was a 400 s+
+    cold wall (VERDICT round-2 #2). `unroll` trades trace size back for
+    scheduler freedom. b_rows: (16, *bshape) array of b's digit rows.
+
+    Inside a Pallas kernel trace (`kernel_trace()`), b's round digit is
+    extracted with an iota compare+select chain instead of `b_rows[j]` —
+    Mosaic has no dynamic_slice lowering — and `unroll` is clamped to
+    Mosaic's {1, full} support; at full unroll the loop index is a lowering
+    constant, so the selects fold away and the emitted code matches the
+    hand-unrolled form."""
     import jax
 
     sh = jnp.broadcast_shapes(a.shape[1:], bshape)
     zero = jnp.zeros(sh, _U32)
     acc0 = jnp.stack([zero] * (_D + 2))
+    in_kernel = _KERNEL_TRACE[0]
+    if in_kernel and unroll != 1:
+        unroll = _D
 
     def body(j, acc):
-        bj = b_rows[j]
+        if in_kernel:
+            bj = zero
+            for i in range(_D):
+                bj = jnp.where(j == i, b_rows[i], bj)
+        else:
+            bj = b_rows[j]
         rows = [acc[i] for i in range(_D + 2)]
         return jnp.stack(_cios_body(a, bj, rows, zero))
 
-    acc = jax.lax.fori_loop(0, _D, body, acc0)
+    acc = jax.lax.fori_loop(0, _D, body, acc0, unroll=unroll)
     return jnp.stack(_cond_sub_p([acc[i] for i in range(_D)]))
 
 
-def _unrolled_ok() -> bool:
-    """Unrolled CIOS only where the compiler digests it: real TPU (incl.
-    inside Pallas kernels, which only run there)."""
+_KERNEL_TRACE = [False]
+
+
+class kernel_trace:
+    """Context marking a Pallas-kernel body trace: limb ops must stay within
+    Mosaic's lowering support (no dynamic_slice, fori unroll in {1, full})."""
+
+    def __enter__(self):
+        self._prev = _KERNEL_TRACE[0]
+        _KERNEL_TRACE[0] = True
+
+    def __exit__(self, *exc):
+        _KERNEL_TRACE[0] = self._prev
+        return False
+
+
+def _cios_mode() -> tuple[bool, int]:
+    """(unrolled, fori_unroll_factor) for this backend/config.
+
+    ``SUMCHECK_TPU_CIOS``: ``unroll`` (full 16x Python unroll — largest
+    trace), ``fori`` (loop, 16x smaller trace), ``foriK`` (loop with K-way
+    unrolled body; clamped to full inside Pallas kernels), ``auto``
+    (default: measured on the v5e — fori16 keeps the warm runtime of the
+    full unroll while the trace+lower wall drops ~3x; CPU loops un-unrolled
+    to keep XLA:CPU compile sane)."""
+    import os
+
     import jax
 
-    return jax.default_backend() == "tpu"
+    mode = os.environ.get("SUMCHECK_TPU_CIOS", "auto")
+    if mode == "auto":
+        mode = "fori16" if jax.default_backend() == "tpu" else "fori"
+    if mode == "unroll":
+        return True, 1
+    if mode == "fori":
+        return False, 1
+    if mode.startswith("fori"):
+        return False, int(mode[4:])
+    raise ValueError(f"SUMCHECK_TPU_CIOS={mode!r}: expected unroll|fori|foriK|auto")
 
 
 def mont_mul(a, b):
     """Montgomery multiply: a*b*R^-1 mod p, strict reduced digits in and out."""
-    if _unrolled_ok():
+    unrolled, k = _cios_mode()
+    if unrolled:
         return _cios(a, [b[j] for j in range(_D)], b.shape[1:])
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     # align b's lane dims to bshape under its leading digit axis
     b_exp = b.reshape((_D,) + (1,) * (len(bshape) - (b.ndim - 1)) + b.shape[1:])
-    return _cios_fori(a, jnp.broadcast_to(b_exp, (_D,) + bshape), bshape)
+    return _cios_fori(a, jnp.broadcast_to(b_exp, (_D,) + bshape), bshape, k)
 
 
 def mont_mul_const(a, digits: tuple):
     """Montgomery multiply by a compile-time digit tuple (Pallas-safe)."""
-    if _unrolled_ok():
+    unrolled, k = _cios_mode()
+    if unrolled:
         return _cios(a, list(digits), ())
     cols = jnp.asarray(np.array(digits, np.uint32).reshape((_D,) + (1,) * (a.ndim - 1)))
     bshape = a.shape[1:]
-    return _cios_fori(a, jnp.broadcast_to(cols, (_D,) + bshape), bshape)
+    return _cios_fori(a, jnp.broadcast_to(cols, (_D,) + bshape), bshape, k)
 
 
 def cond_sub_p(a):

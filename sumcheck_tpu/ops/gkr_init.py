@@ -42,15 +42,22 @@ def _points_arrays(points: list[Fr]):
     return r, omr
 
 
-def _weight_fold(indices, values, r_pts, omr_pts, k: int):
+def _weight_fold(indices, values, r_pts, omr_pts, k: int,
+                 axis_name: str | None = None):
     """values * prod_{i<k} (bit_i(indices) ? r_i : 1-r_i), batched.
 
     Computed via the eq table, NOT via k per-entry multiply-select passes:
     k sequential (16, nnz) Montgomery multiplies are ALU-bound (~11 ms each
     at nnz=2^20 — the k=20 chain was 117 ms and dominated the whole GKR
     prove), while the doubling build is ~2 multiply-equivalents total plus
-    one fast gather."""
-    eq = _eq_table(r_pts, omr_pts, k)
+    one fast gather. Inside a shard_map body, pass `axis_name` so the
+    doubling work is split 1/S across shards (each builds its high-bit
+    slice, one all_gather replicates the table for the arbitrary-index
+    gather)."""
+    if axis_name is None:
+        eq = _eq_table(r_pts, omr_pts, k)
+    else:
+        eq = _eq_table_sharded(r_pts, omr_pts, k, axis_name)
     return LJ.mont_mul(values, jnp.take(eq, indices, axis=1))
 
 
@@ -78,6 +85,31 @@ def _eq_table(r_pts, omr_pts, k: int):
             hi = LJ.mont_mul(eq, r_pts[i])
         eq = jnp.concatenate([lo, hi], axis=1)  # (16, 2^(i+1))
     return eq
+
+
+def _eq_table_sharded(r_pts, omr_pts, k: int, axis_name: str):
+    """`_eq_table` with the doubling work split across a shard_map axis
+    (VERDICT round-2 #6: the full-table build ran REPLICATED on every
+    shard). eq factors as kron(eq_hi, eq_lo) over the top sigma / low
+    k-sigma variable bits; shard s builds eq_lo (k-sigma doublings, 1/S of
+    the lanes) and scales it by ITS scalar eq_hi[s] (sigma scalar
+    multiplies), then one all_gather — concatenating along the top-bit
+    order, which IS shard order — replicates the full (16, 2^k) table."""
+    import jax
+
+    S = jax.lax.axis_size(axis_name)
+    sigma = S.bit_length() - 1
+    if sigma == 0 or k < sigma:
+        return _eq_table(r_pts, omr_pts, k)
+    eq_lo = _eq_table(r_pts, omr_pts, k - sigma)  # (16, 2^(k-sigma))
+    sid = jax.lax.axis_index(axis_name)
+    hi_scalar = jnp.asarray(L.mont_scalar(1))  # (16, 1)
+    for i in range(sigma):
+        bit = (sid >> i) & 1  # top bits, low-first: variable k - sigma + i
+        pick = jnp.where(bit == 1, r_pts[k - sigma + i], omr_pts[k - sigma + i])
+        hi_scalar = LJ.mont_mul(hi_scalar, pick)
+    my_slice = LJ.mont_mul(eq_lo, hi_scalar)
+    return jax.lax.all_gather(my_slice, axis_name, axis=1, tiled=True)
 
 
 def _finish_segment_sums(slo, shi):

@@ -39,6 +39,16 @@ from ..fields import limbs_jnp as LJ
 from ..fields.fr import NUM_DIGITS
 
 
+def _kernel(fn):
+    """Mark a Pallas kernel body so limb ops trace Mosaic-lowerable forms
+    (`limbs_jnp.kernel_trace`: no dynamic digit indexing, fori unroll in
+    {1, full}). Kernel functions run exactly once, at kernel-trace time."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with LJ.kernel_trace():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _block_sums(E, O, coeff_blks, products, degree):
@@ -72,6 +82,7 @@ def _block_sums(E, O, coeff_blks, products, degree):
     return jnp.stack(rows)  # (d+1, 16)
 
 
+@_kernel
 def _kernel_fold(products, degree, has_coeffs, num_slots, r_ref, coeff_ref,
                  lo0_ref, lo1_ref, hi0_ref, hi1_ref, flo_ref, fhi_ref, part_ref):
     r_blk = r_ref[:]  # (16, BN) lane-replicated challenge
@@ -89,6 +100,7 @@ def _kernel_fold(products, degree, has_coeffs, num_slots, r_ref, coeff_ref,
     part_ref[0] = _block_sums(new_lo, new_hi, blks, products, degree)
 
 
+@_kernel
 def _kernel_nofold(products, degree, has_coeffs, num_slots, r_ref, coeff_ref,
                    lo_ref, hi_ref, part_ref):
     blks = [coeff_ref[pi] for pi in range(len(products))] if has_coeffs else None
@@ -177,6 +189,7 @@ def _build(half: int, num_slots: int, products: tuple, degree: int, do_fold: boo
     return jax.jit(run)
 
 
+@_kernel
 def _kernel_chain_fold(products, degree, num_slots, r_ref, mask_ref,
                        lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                        flo_ref, fhi_ref, part_ref):
@@ -199,6 +212,7 @@ def _kernel_chain_fold(products, degree, num_slots, r_ref, mask_ref,
     part_ref[0] = _block_sums(new_lo, new_hi, None, products, degree)
 
 
+@_kernel
 def _kernel_chain_fold_mxu(products, degree, num_slots, band_ref, mu_ref,
                            p_ref, mask_ref,
                            lo0_ref, lo1_ref, hi0_ref, hi1_ref,
@@ -229,6 +243,7 @@ def _kernel_chain_fold_mxu(products, degree, num_slots, band_ref, mu_ref,
     part_ref[0] = _block_sums(new_lo, new_hi, None, products, degree)
 
 
+@_kernel
 def _kernel_chain_nofold(products, degree, num_slots, mask_ref,
                          lo_ref, hi_ref, part_ref):
     mask = mask_ref[:]
