@@ -121,6 +121,46 @@ def time_best(fn, reps: int, label: str) -> float:
     return best
 
 
+def _engage_safe_config(level: str) -> None:
+    """Degrade the prover config after a device-path crash so a headline
+    number is ALWAYS produced (round-3 postmortem: a Mosaic lowering error in
+    the warmup left the driver with rc=1, parsed=null — twice running).
+
+    level "device-safe": no Pallas kernels (XLA-fused jnp body), plain fori
+    CIOS (smallest trace, no in-kernel dynamic indexing), no MXU fold.
+    level "host": the vectorized NumPy engine — no XLA at all; slow but
+    cannot crash on a lowering bug."""
+    from sumcheck_tpu.utils.config import get_config
+
+    cfg = get_config()
+    os.environ["SUMCHECK_TPU_CIOS"] = "fori"
+    cfg.pallas = "off"
+    cfg.mxu_fold = "off"
+    if level == "host":
+        cfg.engine = "host"
+    print(f"# engaged safe config: {level}", file=sys.stderr)
+
+
+def _crashproof(fn, label: str, notes: dict):
+    """Run `fn` under the config ladder default -> device-safe -> host,
+    recording each degradation in `notes`. The last rung re-raises: with the
+    host engine there is nothing lower to fall to."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — any crash must not lose the headline
+        notes["degraded"] = {"default_error": repr(e)[:500]}
+        print(f"# {label} CRASHED under default config: {e!r}", file=sys.stderr)
+    _engage_safe_config("device-safe")
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        notes["degraded"]["device_safe_error"] = repr(e)[:500]
+        print(f"# {label} CRASHED under device-safe config: {e!r}", file=sys.stderr)
+    _engage_safe_config("host")
+    notes["degraded"]["final_config"] = "host"
+    return fn()
+
+
 def bench_ml(nv: int, reps: int, rng):
     poly = build_ml_poly(nv, rng)
     info = poly.info()
@@ -296,7 +336,10 @@ def bench_all(reps: int, rng):
             json.dump(extra, f, indent=1)
 
     ml_warm_t0 = time.perf_counter()
-    ml_prove, ml_verify = bench_ml(20, reps, rng)
+    notes: dict = {}
+    ml_prove, ml_verify = _crashproof(
+        lambda: bench_ml(20, reps, rng), "ml nv=20", notes
+    )
     ml_total = time.perf_counter() - ml_warm_t0
     # THE headline — out the door before any extra can time the process out
     _emit_headline(
@@ -306,6 +349,7 @@ def bench_all(reps: int, rng):
         "prove_s": round(ml_prove, 6), "verify_s": round(ml_verify, 6),
         "vs_baseline_prove": round(BASELINE_ML_PROVE_S[20] / ml_prove, 3),
         "vs_baseline_verify": round(baseline_ml_verify(20) / ml_verify, 3),
+        **notes,
     }
     flush_extra()
 
@@ -398,7 +442,7 @@ def main() -> None:
         metric, baseline = f"batched{batch}_gkr_prove_nv{nv}_per_proof", baseline_prove(BASELINE_GKR_PROVE_S, nv)
     elif proto == "ml":
         nv = int(os.environ.get("BENCH_NV", "20"))
-        best, _ = bench_ml(nv, reps, rng)
+        best, _ = _crashproof(lambda: bench_ml(nv, reps, rng), f"ml nv={nv}", {})
         metric, baseline = f"mlsumcheck_prove_nv{nv}_wallclock", baseline_prove(BASELINE_ML_PROVE_S, nv)
     elif proto == "sweep":
         metric, best, baseline = bench_sweep(reps, rng)

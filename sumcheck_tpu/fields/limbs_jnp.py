@@ -136,7 +136,7 @@ def _cios_fori(a, b_rows, bshape, unroll: int = 1):
     sh = jnp.broadcast_shapes(a.shape[1:], bshape)
     zero = jnp.zeros(sh, _U32)
     acc0 = jnp.stack([zero] * (_D + 2))
-    in_kernel = _KERNEL_TRACE[0]
+    in_kernel = in_kernel_trace()
     if in_kernel and unroll != 1:
         unroll = _D
 
@@ -154,19 +154,35 @@ def _cios_fori(a, b_rows, bshape, unroll: int = 1):
     return jnp.stack(_cond_sub_p([acc[i] for i in range(_D)]))
 
 
-_KERNEL_TRACE = [False]
+import threading as _threading
+
+# Thread-local: concurrent traces (e.g. generic_prover._warm_family compiles
+# three round programs in a ThreadPoolExecutor) must each see only their own
+# in-kernel state — a shared module global let one thread's __exit__ clear
+# the flag mid-trace of another thread's kernel, sending mont_mul down the
+# dynamic-index path and a dynamic_slice into a Mosaic kernel jaxpr
+# (round-3 postmortem: BENCH_r03.json rc=1, "Unimplemented primitive …
+# dynamic_slice").
+_KERNEL_TRACE = _threading.local()
+
+
+def in_kernel_trace() -> bool:
+    """True iff the CURRENT THREAD is inside a Pallas kernel body trace."""
+    return getattr(_KERNEL_TRACE, "active", False)
 
 
 class kernel_trace:
     """Context marking a Pallas-kernel body trace: limb ops must stay within
-    Mosaic's lowering support (no dynamic_slice, fori unroll in {1, full})."""
+    Mosaic's lowering support (no dynamic_slice, fori unroll in {1, full}).
+    Per-thread (see _KERNEL_TRACE): entering in one thread never affects a
+    trace running concurrently in another."""
 
     def __enter__(self):
-        self._prev = _KERNEL_TRACE[0]
-        _KERNEL_TRACE[0] = True
+        self._prev = in_kernel_trace()
+        _KERNEL_TRACE.active = True
 
     def __exit__(self, *exc):
-        _KERNEL_TRACE[0] = self._prev
+        _KERNEL_TRACE.active = self._prev
         return False
 
 
@@ -190,9 +206,11 @@ def _cios_mode() -> tuple[bool, int]:
         return True, 1
     if mode == "fori":
         return False, 1
-    if mode.startswith("fori"):
-        return False, int(mode[4:])
-    raise ValueError(f"SUMCHECK_TPU_CIOS={mode!r}: expected unroll|fori|foriK|auto")
+    if mode.startswith("fori") and mode[4:].isdigit() and int(mode[4:]) > 0:
+        return False, min(int(mode[4:]), NUM_DIGITS)
+    raise ValueError(
+        f"SUMCHECK_TPU_CIOS={mode!r}: expected unroll|fori|foriK (K >= 1)|auto"
+    )
 
 
 def mont_mul(a, b):

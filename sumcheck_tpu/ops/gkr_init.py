@@ -99,7 +99,10 @@ def _eq_table_sharded(r_pts, omr_pts, k: int, axis_name: str):
 
     S = jax.lax.axis_size(axis_name)
     sigma = S.bit_length() - 1
-    if sigma == 0 or k < sigma:
+    # the kron(eq_hi, eq_lo) split assumes shard order == top-bit order, i.e.
+    # power-of-two S; fall back to the replicated build otherwise rather than
+    # silently producing a wrong-sized table
+    if sigma == 0 or k < sigma or S & (S - 1) != 0:
         return _eq_table(r_pts, omr_pts, k)
     eq_lo = _eq_table(r_pts, omr_pts, k - sigma)  # (16, 2^(k-sigma))
     sid = jax.lax.axis_index(axis_name)

@@ -81,12 +81,18 @@ def _chain8(rows, keep_carry: bool):
     return out, (carry if keep_carry else None)
 
 
+def _bf16(x_u32):
+    """u32 (values < 2^8) -> bf16 via int32: Mosaic has no unsigned<->float
+    casts (caught by tests/test_tpu_lowering.py); the int32 hop is exact."""
+    return x_u32.astype(jnp.int32).astype(jnp.bfloat16)
+
+
 def _conv(band, x8_bf):
     """(W, 32) bf16 band @ (32, N) bf16 -> (W, N) f32 exact -> u32."""
     t = jax.lax.dot_general(
         band, x8_bf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return t.astype(_U32)  # every digit < 2^21: exact
+    return t.astype(jnp.int32).astype(_U32)  # every digit < 2^21: exact
 
 
 def mont_mul_scalar_mxu(a, c):
@@ -113,17 +119,17 @@ def mont_mul_band(a, cband, mu_band=None, p_band=None):
         mu_band = jnp.asarray(_MU_BAND)
     if p_band is None:
         p_band = jnp.asarray(_P_BAND)
-    a8 = _to8(a).astype(jnp.bfloat16)
+    a8 = _bf16(_to8(a))
 
     # T = a * c: (63, N) wide digits < 32*255^2 < 2^21
     T = _conv(cband, a8)
     # xlo = T mod 2^256 as strict 8-bit digits (carry past digit 31 belongs
     # to T's high half and re-enters through y below)
     xlo_rows, c32 = _chain8([T[i] for i in range(_D8)], keep_carry=True)
-    xlo8 = jnp.stack(xlo_rows).astype(jnp.bfloat16)
+    xlo8 = _bf16(jnp.stack(xlo_rows))
     # m = xlo * mu mod 2^256 (truncated band), normalized mod R
     m_rows, _ = _chain8(list(_conv(mu_band, xlo8)), keep_carry=False)
-    m8 = jnp.stack(m_rows).astype(jnp.bfloat16)
+    m8 = _bf16(jnp.stack(m_rows))
     # y = T + m*p == 0 mod 2^256; result = y >> 256 < 2p
     mp = _conv(p_band, m8)
     # low half: strict digits are all zero by construction — only the carry
@@ -153,7 +159,7 @@ def _traced_band(c8_col):
     """(32,) u32 traced 8-bit digits -> (63, 32) bf16 banded matrix."""
     m = jnp.arange(_W)[:, None] - jnp.arange(_D8)[None, :]
     take = jnp.take(c8_col, jnp.clip(m, 0, _D8 - 1), axis=0)
-    return jnp.where((m >= 0) & (m < _D8), take, 0).astype(jnp.bfloat16)
+    return _bf16(jnp.where((m >= 0) & (m < _D8), take, 0))
 
 
 @functools.lru_cache(maxsize=None)

@@ -4,8 +4,6 @@ the default field on the compiled fast path, other fields on the portable
 engine — plus the portable engine pinned byte-equal to the fast path over
 the default field (third differential oracle)."""
 
-import random
-
 import pytest
 
 from sumcheck_tpu import (

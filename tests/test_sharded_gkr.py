@@ -40,6 +40,22 @@ def _same_proof(a, b):
     )
 
 
+def test_sharded_gkr_small_matches_host(rnd):
+    """Default-lane (not slow) sharded-GKR equality: one tiny instance on a
+    2-device mesh, byte-equal to the host path (VERDICT round-3 #6: CI never
+    ran ANY sharded-GKR case, so the round-3 sharding rework shipped
+    unverified)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    dim, nnz = 4, 11  # odd nnz exercises the shard zero-padding path
+    f1, f2, f3, g = _instance(rnd, dim, nnz)
+    ref = _host_proof(f1, f2, f3, g)
+    proof = ShardedGKRProver.auto(2).prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+    assert _same_proof(proof, ref)
+
+
 @pytest.mark.slow
 def test_sharded_gkr_matches_host(rnd):
     import jax

@@ -1,0 +1,254 @@
+"""TPU-lowerability regression tests — run entirely on the CPU host.
+
+Round-3 postmortem (VERDICT.md): the TPU-only "fori16 inside Pallas kernels"
+configuration shipped with zero test coverage, and a thread race in the
+kernel-trace flag let a `dynamic_slice` land inside a Mosaic kernel jaxpr —
+crashing every real-TPU prove while the CPU suite stayed green. These tests
+make the chip-only path testable WITHOUT the chip:
+
+1. numeric parity of every ``SUMCHECK_TPU_CIOS`` mode against the uint64
+   host model (the modes must all compute the same Montgomery product);
+2. ``jax.export`` cross-lowering of every Pallas kernel family for the TPU
+   platform under every CIOS mode — Mosaic lowering runs host-side, so a
+   `dynamic_slice`-in-kernel bug fails HERE, not in the driver bench;
+3. the `_warm_family` shape: concurrent kernel traces in threads while
+   another thread enters/exits `kernel_trace` — the exact round-3 crash
+   class (`fields/limbs_jnp.py` `_KERNEL_TRACE`, now thread-local).
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sumcheck_tpu.fields import limbs_jnp as LJ
+from sumcheck_tpu.fields import limbs_np as L
+from sumcheck_tpu.fields.fr import NUM_DIGITS, P
+
+MODES = ["unroll", "fori", "fori4", "fori16"]
+PRODUCTS = ((0, 1), (1, 0))  # 2 products x 2 multiplicands over 2 slots
+DEGREE = 2
+U = 2
+
+
+def _set_mode(monkeypatch, mode: str) -> None:
+    monkeypatch.setenv("SUMCHECK_TPU_CIOS", mode)
+
+
+@pytest.mark.parametrize("mode", MODES + ["auto"])
+def test_cios_mode_numeric_parity(monkeypatch, mode):
+    """Every CIOS mode computes the same mont_mul as the uint64 host model."""
+    _set_mode(monkeypatch, mode)
+    rnd = np.random.default_rng(7)
+    xs = [int(rnd.integers(0, 1 << 62)) * 0x9E3779B97F4A7C15 % P for _ in range(9)]
+    ys = [int(rnd.integers(0, 1 << 62)) * 0xC2B2AE3D27D4EB4F % P for _ in range(9)]
+    a_h, b_h = L.from_ints(xs), L.from_ints(ys)
+    want = L.to_ints(L.mont_mul(a_h, b_h))
+    a_d, b_d = jnp.asarray(a_h.astype(np.uint32)), jnp.asarray(b_h.astype(np.uint32))
+    got = L.to_ints(np.asarray(LJ.mont_mul(a_d, b_d)).astype(np.uint64))
+    assert got == want
+    # in-kernel-trace variant (iota compare+select digit extraction)
+    with LJ.kernel_trace():
+        got_k = L.to_ints(np.asarray(LJ.mont_mul(a_d, b_d)).astype(np.uint64))
+    assert got_k == want
+
+
+@pytest.mark.parametrize("bad", ["fori0", "foriX", "fori-2", "bogus", "fori16x"])
+def test_cios_mode_validation(monkeypatch, bad):
+    _set_mode(monkeypatch, bad)
+    with pytest.raises(ValueError, match="SUMCHECK_TPU_CIOS"):
+        LJ.mont_mul(
+            jnp.zeros((NUM_DIGITS, 4), jnp.uint32),
+            jnp.zeros((NUM_DIGITS, 4), jnp.uint32),
+        )
+
+
+def _export_tpu(fn, *args):
+    """Cross-lower a jittable for the TPU platform on this CPU host.
+    Mosaic lowering runs host-side: any non-lowerable primitive inside a
+    kernel jaxpr (e.g. dynamic_slice) raises here."""
+    return jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+def _chain_args(B: int, bt: int):
+    return (
+        jnp.zeros((NUM_DIGITS, bt), jnp.uint32),  # r block
+        jnp.zeros((NUM_DIGITS, B), jnp.uint32),  # mask
+        *(jnp.zeros((U, NUM_DIGITS, B), jnp.uint32) for _ in range(4)),
+    )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_chain_fold_kernel_lowers_for_tpu(monkeypatch, mode):
+    """The generic-chain fold kernel (the flagship prover's hot body,
+    `protocol/generic_prover.py`) must Mosaic-lower under every CIOS mode."""
+    from sumcheck_tpu.ops.round_pallas import _build_chain
+
+    _set_mode(monkeypatch, mode)
+    _build_chain.cache_clear()  # kernels trace the env var; drop stale builds
+    B = bt = 256
+    fn = _build_chain(B, U, PRODUCTS, DEGREE, True, bt, interpret=False)
+    _export_tpu(fn, *_chain_args(B, bt))
+    _build_chain.cache_clear()
+
+
+@pytest.mark.parametrize("mode", ["fori", "fori16"])
+def test_chain_nofold_kernel_lowers_for_tpu(monkeypatch, mode):
+    from sumcheck_tpu.ops.round_pallas import _build_chain
+
+    _set_mode(monkeypatch, mode)
+    _build_chain.cache_clear()
+    B = bt = 256
+    fn = _build_chain(B, U, PRODUCTS, DEGREE, False, bt, interpret=False)
+    _export_tpu(
+        fn,
+        jnp.zeros((NUM_DIGITS, B), jnp.uint32),
+        jnp.zeros((U, NUM_DIGITS, B), jnp.uint32),
+        jnp.zeros((U, NUM_DIGITS, B), jnp.uint32),
+    )
+    _build_chain.cache_clear()
+
+
+@pytest.mark.parametrize("mode", ["fori16"])
+def test_chain_mxu_kernel_lowers_for_tpu(monkeypatch, mode):
+    """In-kernel MXU fold variant (challenge as a (63, 32) bf16 band)."""
+    from sumcheck_tpu.ops.round_pallas import _build_chain
+
+    _set_mode(monkeypatch, mode)
+    _build_chain.cache_clear()
+    B = bt = 256
+    fn = _build_chain(B, U, PRODUCTS, DEGREE, True, bt, interpret=False, mxu=True)
+    _export_tpu(
+        fn,
+        jnp.zeros((63, 32), jnp.bfloat16),
+        jnp.zeros((NUM_DIGITS, B), jnp.uint32),
+        *(jnp.zeros((U, NUM_DIGITS, B), jnp.uint32) for _ in range(4)),
+    )
+    _build_chain.cache_clear()
+
+
+@pytest.mark.parametrize("mode", ["unroll", "fori16"])
+@pytest.mark.parametrize("do_fold", [True, False])
+def test_persize_kernel_lowers_for_tpu(monkeypatch, mode, do_fold):
+    """The per-size fused round kernel (`ops/round_pallas._build`)."""
+    from sumcheck_tpu.ops.round_pallas import _build
+
+    _set_mode(monkeypatch, mode)
+    _build.cache_clear()
+    half, block = 512, 256
+    fn = _build(half, U, PRODUCTS, DEGREE, do_fold, block, interpret=False,
+                has_coeffs=True)
+    _export_tpu(
+        fn,
+        jnp.zeros((U, NUM_DIGITS, half), jnp.uint32),
+        jnp.zeros((U, NUM_DIGITS, half), jnp.uint32),
+        jnp.zeros((NUM_DIGITS, block), jnp.uint32),
+        jnp.zeros((len(PRODUCTS), NUM_DIGITS, block), jnp.uint32),
+    )
+    _build.cache_clear()
+
+
+def test_concurrent_kernel_trace_lowering(monkeypatch):
+    """The round-3 crash class: one thread lowers a Pallas chain program for
+    TPU under fori16 while other threads enter/exit `kernel_trace` — with a
+    shared module-global flag the lowering thread's mont_mul dropped out of
+    kernel mode mid-trace and a dynamic_slice reached Mosaic (BENCH_r03.json
+    rc=1). The flag is thread-local now; interference must be impossible."""
+    from sumcheck_tpu.ops.round_pallas import _build_chain
+
+    _set_mode(monkeypatch, "fori16")
+    _build_chain.cache_clear()
+    stop = threading.Event()
+    toggles = [0]
+
+    def interfere():
+        while not stop.is_set():
+            with LJ.kernel_trace():
+                toggles[0] += 1
+
+    threads = [threading.Thread(target=interfere, daemon=True) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        errors: list = []
+
+        def lower_one(B):
+            try:
+                fn = _build_chain(B, U, PRODUCTS, DEGREE, True, B,
+                                  interpret=False)
+                _export_tpu(fn, *_chain_args(B, B))
+            except Exception as e:  # noqa: BLE001 — collected for the assert
+                errors.append(e)
+
+        workers = [threading.Thread(target=lower_one, args=(B,))
+                   for B in (128, 256)]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join()
+        assert not errors, f"concurrent kernel-trace lowering failed: {errors!r}"
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+        _build_chain.cache_clear()
+    assert toggles[0] > 0  # the interferer really ran
+
+
+def test_warm_family_programs_lower_for_tpu(monkeypatch):
+    """Lower the ACTUAL flagship round programs (`_generic_step` fold/first +
+    `_chain_step`) for TPU with the Pallas body enabled — the exact programs
+    `_warm_family` compiles on the chip, traced here with interpret off."""
+    from sumcheck_tpu.protocol import generic_prover as GP
+    from sumcheck_tpu.utils import config as config_mod
+
+    _set_mode(monkeypatch, "fori16")
+    # force the real (non-interpret) Pallas body off-TPU for lowering only
+    monkeypatch.setattr(config_mod.Config, "pallas_interpret",
+                        property(lambda self: False))
+    GP._generic_step_impl.cache_clear()
+    GP._chain_step_impl.cache_clear()
+    H, B = 1024, 512
+    lo = jnp.zeros((U, NUM_DIGITS, H), jnp.uint32)
+    hi = jnp.zeros((U, NUM_DIGITS, H), jnp.uint32)
+    r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
+    h = jnp.zeros((8, 2), jnp.uint32)
+    buf = jnp.zeros((16, 2), jnp.uint32)
+    try:
+        for variant in ("first_block", "fold_block"):
+            step = GP._generic_step_impl(
+                H, U, PRODUCTS, DEGREE, B, variant, False, jit=False,
+                pallas=True,
+            )
+            _export_tpu(step, lo, hi, jnp.uint32(H), r, h, jnp.uint32(0),
+                        buf, jnp.uint32(0))
+        cstep = GP._chain_step_impl(
+            H, U, PRODUCTS, DEGREE, B, False, jit=False, pallas=True,
+        )
+        _export_tpu(cstep, lo, hi, jnp.uint32(B), jnp.int32(1), r, h,
+                    jnp.uint32(0), buf, jnp.uint32(0))
+    finally:
+        GP._generic_step_impl.cache_clear()
+        GP._chain_step_impl.cache_clear()
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_mont_mul_const_modes(monkeypatch, mode):
+    """mont_mul_const (in-chain canonicalization path) per mode: multiplying
+    a Montgomery element xR by the constant digits of canonical 1 yields
+    xR * 1 * R^-1 = x, the canonical residue."""
+    _set_mode(monkeypatch, mode)
+    one_digits = tuple(int(d) for d in L.from_int_scalar(1)[:, 0])
+    xs = [123456789, P - 1, 1, (P - 1) // 2]
+    a = jnp.asarray(L.from_ints(xs).astype(np.uint32))  # Montgomery form
+    res = LJ.mont_mul_const(a, one_digits)
+    got = L.to_ints(np.asarray(res).astype(np.uint64), mont=False)
+    assert got == xs, mode
+    with LJ.kernel_trace():
+        got_k = L.to_ints(
+            np.asarray(LJ.mont_mul_const(a, one_digits)).astype(np.uint64),
+            mont=False,
+        )
+    assert got_k == xs, mode

@@ -106,9 +106,17 @@ def main() -> None:
     if had_cache:
         os.rename(CACHE, ASIDE)
     try:
-        import jax  # backend label for the artifact
-
-        backend = str(jax.devices()[0])
+        # Backend label fetched in a throwaway child: importing jax here
+        # would grab libtpu's exclusive per-process device lock in the
+        # PARENT, starving both benchmark children on non-tunneled runtimes
+        # (ADVICE round-3 medium).
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); "
+             "import jax; print(jax.devices()[0])" % REPO],
+            capture_output=True, text=True, timeout=600,
+        )
+        backend = probe.stdout.strip().splitlines()[-1] if probe.stdout else "?"
         res = {"backend": backend, "ml": run_child(CHILD_ML, ml_nv)}
         # fresh process AND a wiped cache again: the GKR cold wall must not
         # ride on programs the ML child just compiled
