@@ -47,11 +47,18 @@ def test_cios_mode_numeric_parity(monkeypatch, mode):
     a_h, b_h = L.from_ints(xs), L.from_ints(ys)
     want = L.to_ints(L.mont_mul(a_h, b_h))
     a_d, b_d = jnp.asarray(a_h.astype(np.uint32)), jnp.asarray(b_h.astype(np.uint32))
-    got = L.to_ints(np.asarray(LJ.mont_mul(a_d, b_d)).astype(np.uint64))
+    # jit (fresh per mode — the env var is read at trace time); eager
+    # fori_loop dispatch on the 1-core host is ~30x slower than the compile
+    got = L.to_ints(
+        np.asarray(jax.jit(lambda a, b: LJ.mont_mul(a, b))(a_d, b_d)).astype(np.uint64)
+    )
     assert got == want
-    # in-kernel-trace variant (iota compare+select digit extraction)
+    # in-kernel-trace variant (iota compare+select digit extraction);
+    # kernel_trace is consulted when the jit TRACES, i.e. at first call
     with LJ.kernel_trace():
-        got_k = L.to_ints(np.asarray(LJ.mont_mul(a_d, b_d)).astype(np.uint64))
+        got_k = L.to_ints(
+            np.asarray(jax.jit(lambda a, b: LJ.mont_mul(a, b))(a_d, b_d)).astype(np.uint64)
+        )
     assert got_k == want
 
 
@@ -243,12 +250,12 @@ def test_mont_mul_const_modes(monkeypatch, mode):
     one_digits = tuple(int(d) for d in L.from_int_scalar(1)[:, 0])
     xs = [123456789, P - 1, 1, (P - 1) // 2]
     a = jnp.asarray(L.from_ints(xs).astype(np.uint32))  # Montgomery form
-    res = LJ.mont_mul_const(a, one_digits)
+    res = jax.jit(lambda t: LJ.mont_mul_const(t, one_digits))(a)
     got = L.to_ints(np.asarray(res).astype(np.uint64), mont=False)
     assert got == xs, mode
     with LJ.kernel_trace():
         got_k = L.to_ints(
-            np.asarray(LJ.mont_mul_const(a, one_digits)).astype(np.uint64),
+            np.asarray(jax.jit(lambda t: LJ.mont_mul_const(t, one_digits))(a)).astype(np.uint64),
             mont=False,
         )
     assert got_k == xs, mode

@@ -7,10 +7,13 @@ with the MXU banded-matmul fold (`ops/mxu_mul`). Variant choice is part of
 the compiled-program cache key, so in-process switching is sound.
 
 Run: python tools/mxu_ab.py [nv]   (default 20)
+Writes MXU_AB.json at the repo root (VERDICT round-2 #7 / round-3 #8:
+"decide the MXU fold with data — committed A/B + default reflecting it").
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -56,6 +59,7 @@ def main() -> None:
         ("pallas_mxu_kernel", {"pallas": "auto", "mxu_fold": "kernel"}),
     ]
     ref = None
+    results: dict = {"nv": nv}
     for name, flags in variants:
         saved = {k: getattr(cfg, k) for k in flags}
         for k, v in flags.items():
@@ -74,9 +78,21 @@ def main() -> None:
                 MLSumcheck.prove(poly)
                 best = min(best, time.perf_counter() - t0)
             print(f"{name}: nv={nv} prove {best:.4f}s (warmup {warm:.1f}s)")
+            results[name] = {"prove_s": round(best, 5), "warmup_s": round(warm, 1)}
+        except Exception as e:  # noqa: BLE001 — record, keep A/B-ing the rest
+            print(f"{name}: FAILED {e!r}")
+            results[name] = {"error": repr(e)[:300]}
         finally:
             for k, v in saved.items():
                 setattr(cfg, k, v)
+    timed = {k: v["prove_s"] for k, v in results.items()
+             if isinstance(v, dict) and "prove_s" in v}
+    if timed:
+        results["winner"] = min(timed, key=timed.get)
+    out = os.path.join(os.path.dirname(__file__), "..", "MXU_AB.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
