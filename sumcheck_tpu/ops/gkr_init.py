@@ -145,15 +145,18 @@ def _segment_reduce_mod_p(vals, seg_ids, num_segments: int):
 def _segment_reduce_sorted(vals, perm, last_pos):
     """Exact segment reduction without any scatter: gather entries into
     segment-sorted order (`perm`, precomputed host-side from the indices
-    alone — challenge-independent, cached on the SparseMLE), 8-bit-split the
-    digits, prefix-sum along entries, and difference the cumsum at each
-    segment's last position (`last_pos`, -1 for the all-empty prefix).
+    alone — challenge-independent, cached on the SparseMLE; pass None when
+    `vals` is ALREADY segment-sorted — an arbitrary-index gather costs
+    ~3.2 ms at 2^18 entries on the v5e, 50x a monotone one, so the prove
+    path pre-sorts entries host-side instead), 8-bit-split the digits,
+    prefix-sum along entries, and difference the cumsum at each segment's
+    last position (`last_pos`, -1 for the all-empty prefix).
 
     Exactness: each split digit < 2^8, so a u32 cumsum over nnz <= 2^24
     entries cannot overflow, and segment sums are exact cumsum differences.
     Replaces a 2^20-point random scatter (~0.3 s serialized on TPU) with a
     gather + log-depth scan (~ms)."""
-    v = jnp.take(vals, perm, axis=1)  # (16, nnz) segment-sorted
+    v = vals if perm is None else jnp.take(vals, perm, axis=1)
     lo = (v & 0xFF).astype(jnp.uint32)
     hi = (v >> 8).astype(jnp.uint32)
     rows = jnp.concatenate([lo, hi], axis=0)  # (32, nnz)
@@ -177,10 +180,13 @@ def _mxu_key() -> str:
 @functools.lru_cache(maxsize=None)
 def _compiled_phase1(nnz: int, dim: int, mxu: str = "off"):
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev):
+        # entries arrive pre-sorted by x (`_split_f1_device`), so the
+        # segment reduce skips its gather; perm_x rides along unused to
+        # keep the split-tuple shape stable for the batch/stack callers
         w = _weight_fold(gbits, values, g_r, g_omr, dim)
         f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
         wv = LJ.mont_mul(w, f3y)
-        hg = _segment_reduce_sorted(wv, perm_x, last_x)
+        hg = _segment_reduce_sorted(wv, None, last_x)
         return hg, w
 
     return jax.jit(fn)
@@ -197,7 +203,9 @@ def _compiled_phase2(nnz: int, dim: int, mxu: str = "off"):
 
 def phase1_init_device_arrays(f1, f3, g: list[Fr], dim: int):
     """Device h_g + fixed-f1 entries, as device handles (no sync). Returns
-    (h_g (16, 2^dim) jax array, natural order; (x, y, w) arrays for phase 2).
+    (h_g (16, 2^dim) jax array in BITREV lane order — `_split_f1_device`
+    rev-sorts segments so no device-side bitrev pass is needed; (x, y, w)
+    arrays for phase 2).
 
     Full indices can exceed int32 (3*dim bits); they are pre-split host-side
     into the g-bits (low dim), x (middle dim) and y (top dim) components,
@@ -231,28 +239,42 @@ def _split_f1_device(f1, dim: int):
         return cache[1]
     idx = np.asarray(f1.indices).astype(np.int64)
     mask = (1 << dim) - 1
+    revp = bitrev_perm(dim)
+    # Pre-sort ALL entry arrays by the BIT-REVERSED x host-side
+    # (challenge-independent, once per f1). Two devices gathers die at once:
+    # (1) the phase-1 segment reduce needs NO entry gather (entries are
+    # already segment-sorted; an arbitrary (16, 2^18) gather costs ~3 ms on
+    # the v5e, a host argsort at upload is free), and (2) because the
+    # segment ids are bitrev(x), h_g comes OUT of the reduce already in the
+    # bitrev lane order the round chain wants — no `bitrev_cols` pass.
+    # Segment sums are order-exact (integer adds): proof bytes unchanged.
+    x_rev_vals = revp[((idx >> dim) & mask)].astype(np.int32)
+    order = np.argsort(x_rev_vals, kind="stable")
+    idx = idx[order]
+    vals = np.asarray(f1.values)[:, order]
     gbits = (idx & mask).astype(np.int32)
-    x = ((idx >> dim) & mask).astype(np.int32)
+    x = ((idx >> dim) & mask).astype(np.int32)  # natural values, rev-sorted
     y = (idx >> (2 * dim)).astype(np.int32)
-    y_rev = bitrev_perm(dim)[y].astype(np.int32)
-    # challenge-independent segment-sort metadata (host, once per f1): the
-    # scatter-free reduction gathers entries by `perm` and differences a
-    # cumsum at each segment's last position (`_segment_reduce_sorted`)
+    y_rev = revp[y].astype(np.int32)
     assert len(idx) <= 1 << 24, "cumsum exactness bound"
 
     def sort_meta(seg):
+        """Segment metadata over BITREV segment ids: `perm` re-sorts entries
+        by bitrev(seg); `last` = last sorted position per bitrev id."""
         perm = np.argsort(seg, kind="stable").astype(np.int32)
         srt = seg[perm]
         last = (np.searchsorted(srt, np.arange(1 << dim), side="right") - 1)
         return perm, last.astype(np.int32)
 
-    perm_x, last_x = sort_meta(x)
-    perm_y, last_y = sort_meta(y)
+    # perm_x is the identity by construction; kept in the tuple (the batch
+    # prover stacks all 8 slots) but unused by the phase-1 reduce
+    perm_x, last_x = sort_meta(x_rev_vals[order])
+    perm_y, last_y = sort_meta(y_rev)
     out = (
         jnp.asarray(gbits),
         jnp.asarray(x),
         jnp.asarray(y_rev),
-        jnp.asarray(f1.values),
+        jnp.asarray(vals),
         jnp.asarray(perm_x),
         jnp.asarray(last_x),
         jnp.asarray(perm_y),
@@ -279,17 +301,24 @@ def phase1_init_device(f1_indices, f1_values, f3_evals, g: list[Fr], dim: int):
             return jnp.asarray(to_bitrev(f3_evals, dim))
 
     hg, carry = phase1_init_device_arrays(_F1, _F3, g, dim)
-    return np.asarray(hg), carry
+    # the device reduce emits bitrev lane order (rev-sorted segments);
+    # host consumers want natural order
+    from ..protocol.prover import bitrev_perm
+
+    return np.asarray(hg)[:, bitrev_perm(dim)], carry
 
 
 def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
     """Device f1(g, u, .) densified: (16, 2^dim) strict, natural order."""
+    from ..protocol.prover import bitrev_perm
+
     x, perm_y, last_y, w = carry
     u_r, u_omr = _points_arrays(u)
     fn = _compiled_phase2(int(x.shape[0]), dim, _mxu_key())
-    return np.asarray(
+    out = np.asarray(
         fn(x, perm_y, last_y, w, jnp.asarray(u_r), jnp.asarray(u_omr))
     )
+    return out[:, bitrev_perm(dim)]  # device emits bitrev lane order
 
 
 # ---------------------------------------------------------------------------
@@ -299,7 +328,14 @@ def phase2_init_device(carry, u: list[Fr], dim: int) -> np.ndarray:
 
 def bitrev_cols(x, nv: int):
     """(16, 2^nv) natural order -> bit-reversed, in-trace (iota bit math —
-    no captured permutation constants)."""
+    no captured permutation constants).
+
+    Note: a reshape + 18-axis transpose formulation measured FASTER
+    standalone (0.76 vs 2.87 ms at 2^18 lanes) but 9 ms SLOWER inside the
+    fused phase-init programs (it wrecks XLA's surrounding fusions), so the
+    take stays. The hot GKR path avoids this op entirely: `_split_f1_device`
+    sorts entries by BIT-REVERSED segment ids, so the phase tables come out
+    of the segment reduce already in bitrev lane order."""
     i = jax.lax.iota(jnp.int32, 1 << nv)
     rev = jnp.zeros_like(i)
     for b in range(nv):
@@ -316,12 +352,13 @@ def _phase1_pair_body(dim: int):
 
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev,
            f2_bitrev):
+        # entries pre-sorted by x: no segment gather (see `_compiled_phase1`)
         w = _weight_fold(gbits, values, g_r, g_omr, dim)
         f3y = jnp.take(f3_bitrev, y_rev, axis=1)
         wv = LJ.mont_mul(w, f3y)
-        hg = _segment_reduce_sorted(wv, perm_x, last_x)
+        hg = _segment_reduce_sorted(wv, None, last_x)  # bitrev lane order
         n = 1 << dim
-        s = jnp.stack([bitrev_cols(hg, dim), f2_bitrev], axis=0)
+        s = jnp.stack([hg, f2_bitrev], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :], w
 
     return fn
@@ -341,7 +378,7 @@ def _phase2_pair_body(dim: int):
         r_pts = [u_digits[i][:, None] for i in range(dim)]
         omr_pts = [LJ.sub(one, r) for r in r_pts]
         w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
-        f1gu = _segment_reduce_sorted(w2, perm_y, last_y)
+        f1gu = _segment_reduce_sorted(w2, perm_y, last_y)  # bitrev order
         n = 1 << dim
         from ..utils.config import get_config
 
@@ -351,7 +388,7 @@ def _phase2_pair_body(dim: int):
             f3f2u = mont_mul_scalar_mxu(f3_bitrev, f2u)
         else:
             f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
-        s = jnp.stack([bitrev_cols(f1gu, dim), f3f2u], axis=0)
+        s = jnp.stack([f1gu, f3f2u], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return fn
@@ -369,13 +406,14 @@ def _compiled_phase2_pair(nnz: int, dim: int, mxu: str = "off"):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_prep1(dim: int):
-    """[h_g (natural), f2 (bitrev)] -> the (lo, hi) pair for phase 1, slot
-    axis leading ((2, 16, half) — see `round_pallas` layout note).
+    """[h_g (BITREV lane order — `_split_f1_device` rev-sorts segments),
+    f2 (bitrev)] -> the (lo, hi) pair for phase 1, slot axis leading
+    ((2, 16, half) — see `round_pallas` layout note).
     (No ones slot: the single product h_g*f2 needs no ragged padding.)"""
 
-    def fn(hg_nat, f2_bitrev):
+    def fn(hg_brev, f2_bitrev):
         n = 1 << dim
-        s = jnp.stack([bitrev_cols(hg_nat, dim), f2_bitrev], axis=0)
+        s = jnp.stack([hg_brev, f2_bitrev], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)
@@ -411,7 +449,7 @@ def _compiled_prep2(dim: int, mxu: str = "off"):
     """[f1_gu (natural), f3 (bitrev), f2(u)] -> the phase-2 pair for
     `f1_gu * (f2(u) * f3)` (reference `mod.rs:66-82`)."""
 
-    def fn(f1gu_nat, f3_bitrev, f2u):
+    def fn(f1gu_brev, f3_bitrev, f2u):
         n = 1 << dim
         from ..utils.config import get_config
 
@@ -421,7 +459,7 @@ def _compiled_prep2(dim: int, mxu: str = "off"):
             f3f2u = mont_mul_scalar_mxu(f3_bitrev, f2u)  # shared-scalar MXU
         else:
             f3f2u = LJ.mont_mul(f3_bitrev, f2u[:, None])
-        s = jnp.stack([bitrev_cols(f1gu_nat, dim), f3f2u], axis=0)
+        s = jnp.stack([f1gu_brev, f3f2u], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :]
 
     return jax.jit(fn)

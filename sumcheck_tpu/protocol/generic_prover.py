@@ -49,11 +49,18 @@ from .device_prover import (
 )
 
 
-def _use_pallas_chain() -> bool:
-    """Fused Pallas block body for the generic chain: real-TPU backends only
-    (CPU tests and the virtual sharded mesh keep the pure-jnp body; interpret
-    mode would be pointlessly slow there and the two bodies are pinned
-    bit-identical by the TPU equality tests)."""
+def _use_pallas_chain(block: int | None = None) -> bool:
+    """Body choice for the generic chain, per BLOCK WIDTH.
+
+    Measured on the v5e (tools/mxu_ab.py, MXU_AB.json, round 4): at the
+    nv=20 reference workload the XLA-fused jnp body proves in 0.128 s vs
+    0.213 s for the hand-written Pallas body (identical proof bytes) — XLA's
+    fusion of the wide fold+evaluate+reduce blocks beats the handwritten
+    kernel 1.66x. But the same flip cost GKR nv=18 0.111 -> 0.132 s: its 36
+    mostly sub-block rounds are DISPATCH-bound, and there the single fused
+    kernel launch beats the ~300-HLO jnp body ~2x per round. So `auto` is a
+    hybrid: jnp for the wide (ALU-bound) chains, Pallas for the narrow tail
+    chain (block <= _TAIL_BLOCK). `on`/`off` force one body everywhere."""
     import jax
 
     from ..utils.config import get_config
@@ -61,7 +68,10 @@ def _use_pallas_chain() -> bool:
     cfg = get_config()
     if cfg.pallas == "on":  # forced (interpret mode off-TPU — tests only)
         return True
-    return cfg.pallas != "off" and jax.default_backend() == "tpu"
+    if cfg.pallas == "off":
+        return False
+    return (block is not None and block <= _TAIL_BLOCK
+            and jax.default_backend() == "tpu")
 
 
 def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
@@ -70,7 +80,7 @@ def _generic_step(H: int, num_slots: int, products: tuple, degree: int,
     from ..utils.config import get_config
 
     mode = get_config().mxu_mode()
-    pallas_on = _use_pallas_chain()
+    pallas_on = _use_pallas_chain(block)
     if mode == "kernel" and not pallas_on:
         mode = "xla"  # in-kernel MXU needs the Pallas chain; keep MXU via XLA
     # "xla": MXU fold in the jnp body (XLA schedules matmul + carries);
@@ -301,7 +311,7 @@ def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
     from ..utils.config import get_config
 
     mode = get_config().mxu_mode()
-    pallas_on = _use_pallas_chain()
+    pallas_on = _use_pallas_chain(block)
     if mode == "kernel" and not pallas_on:
         mode = "xla"  # in-kernel MXU needs the Pallas chain; keep MXU via XLA
     return _chain_step_impl(H, num_slots, products, degree, block, donate,

@@ -8,9 +8,10 @@ Environment overrides:
   chained one-sync prove beats the host engine even for small tables; 2^12
   elsewhere, where XLA compile time dwarfs tiny proves).
 - ``SUMCHECK_TPU_ENGINE``: force ``device`` | ``host`` | ``auto`` (default).
-- ``SUMCHECK_TPU_PALLAS``: ``auto`` (default: fused Pallas kernel on real TPU
-  backends), ``on`` (force, incl. interpret mode off-TPU), ``off`` (use the
-  XLA-fused jnp engine for device rounds).
+- ``SUMCHECK_TPU_PALLAS``: ``auto`` (default: XLA-fused jnp bodies for the
+  chained prover — measured 1.66x faster than the handwritten Pallas body
+  on the v5e, `MXU_AB.json`; the per-size engine keeps its kernel on real
+  TPU), ``on`` (force kernels, incl. interpret mode off-TPU), ``off``.
 - ``SUMCHECK_TPU_FIELD``: the process-wide prime field (import-time — the
   constants bake into every kernel): ``bls12_381_fr`` (default) or
   ``bn254_fr`` (`fields/fr.py:_FIELDS`).

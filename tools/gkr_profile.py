@@ -1,24 +1,25 @@
 #!/usr/bin/env python3
-"""Per-stage timing of the chained GKR prove (VERDICT round-2 #3 / round-3
-#4: "fresh on-chip per-stage profile, then attack what it names").
+"""Per-stage timing of the chained GKR prove (VERDICT round-3 #4: "fresh
+on-chip per-stage profile, then attack what it names").
 
-Profiles the GENERIC chained path (`chain_impl=generic` — the configuration
-the driver bench runs): each stage is one of the prove's actual dispatch
-units, timed warm with block_until_ready:
+Measurement method — fetch-based differential timing. Through the tunneled
+TPU, `block_until_ready` readiness does not reliably reflect device
+execution wall (stage sums measured that way disagree with the end-to-end
+prove by 2x). Instead every probe ends in a TINY host fetch (np.asarray of
+the transcript h-state, 64 B) that data-depends on all prior stages, so its
+wall = enqueue + execute-everything + one tunnel round-trip. The pure
+round-trip floor (`rtt`) is measured on a no-op chain and subtracted; stage
+costs are differences of cumulative prefixes:
 
-  - phase1_pair: fused phase-1 init (weight fold + f3 gather + sorted
-    segment reduce) + pair prep                  (ops/gkr_init.py)
-  - rounds_p1:   ALL dim phase-1 rounds (first + big chain + tail chain,
-    incl. the on-device Fiat-Shamir transcript)  (protocol/generic_prover.py)
-  - phase2_pair: fused final-fold + phase-2 init + pair prep
-  - rounds_p2:   ALL dim phase-2 rounds
-  - fetch:       the single host transfer
-  - transcript_est: serial-floor estimate — rounds in a tail chain whose
-    masked block is tiny are ~pure transcript; scaled to 2*dim rounds
-  - full_prove:  end-to-end warm GKRRoundSumcheck.prove
+  rtt                -> np.asarray of a trivial program's output
+  upto_phase1        -> phase1_pair, fetch h
+  upto_rounds_p1     -> phase1_pair + dim rounds, fetch h
+  upto_phase2        -> + phase2_pair
+  upto_rounds_p2     -> + dim rounds
+  full_prove         -> GKRRoundSumcheck.prove wall (the real thing)
 
 Run (real TPU): python tools/gkr_profile.py [nv]
-Prints a JSON dict and writes GKR_PROFILE.json at the repo root.
+Prints one JSON dict; writes GKR_PROFILE.json at the repo root.
 """
 
 from __future__ import annotations
@@ -46,13 +47,12 @@ from sumcheck_tpu.ops import gkr_init as GI  # noqa: E402
 from sumcheck_tpu.protocol.generic_prover import chain_rounds_generic, pad_pair  # noqa: E402
 
 
-def best_of(fn, reps=3):
-    out = fn()  # warm (compile)
-    jax.block_until_ready(out)
+def wall_best(fn, reps=3):
+    fn()  # warm (compile)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        fn()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -68,111 +68,77 @@ def main() -> None:
     f3 = DenseMLE(nv, digits[:, ::-1].copy())
     g = [Fr(prnd.randrange(P)) for _ in range(nv)]
 
-    stages: dict[str, float] = {}
     products = ((0, 1),)
-
     (gbits_d, x, yrev_d, vals_d, perm_x, last_x, perm_y, last_y) = (
         GI._split_f1_device(f1, nv)
     )
     nnz = int(vals_d.shape[1])
     g_r, g_omr = GI._points_arrays(list(g))
+    g_r_d, g_omr_d = jnp.asarray(g_r), jnp.asarray(g_omr)
     p1 = GI._compiled_phase1_pair(nnz, nv, GI._mxu_key())
-
-    def phase1():
-        return p1(gbits_d, perm_x, last_x, yrev_d, vals_d, jnp.asarray(g_r),
-                  jnp.asarray(g_omr), f3.device_bitrev(), f2.device_bitrev())
-
-    stages["phase1_pair"] = best_of(phase1)
-    lo1, hi1, w = phase1()
-    H0 = lo1.shape[2]
-    lo1p, hi1p = pad_pair(lo1, hi1)
-    jax.block_until_ready((lo1p, hi1p))
+    p2 = GI._compiled_phase2_pair(nnz, nv, GI._mxu_key())
 
     from sumcheck_tpu.protocol.device_prover import lift_transcript
 
     ts = lift_transcript(Blake2b512Rng.setup())
     state0 = (ts.h, ts.t, ts.buf, jnp.uint32(ts.blen))
 
-    def rounds_p1():
-        parts, state, pair, r = chain_rounds_generic(
-            lo1p + 0, hi1p + 0, state0, products, 2, nv,
-            donate=False, active_pairs=H0,
+    trivial = jax.jit(lambda a: a + 1)
+    _ = np.asarray(trivial(state0[0]))  # compile
+
+    def probe_rtt():
+        return np.asarray(trivial(state0[0]))
+
+    def run(depth: int):
+        """Execute the prove pipeline to `depth`, then fetch 64 B that
+        depends on everything executed so far."""
+        lo1, hi1, w = p1(gbits_d, perm_x, last_x, yrev_d, vals_d,
+                         g_r_d, g_omr_d, f3.device_bitrev(), f2.device_bitrev())
+        if depth == 1:
+            return np.asarray(lo1[0, :, :1]), np.asarray(hi1[0, :, :1])
+        H0 = lo1.shape[2]
+        lo1, hi1 = pad_pair(lo1, hi1)
+        parts1, state, pair1, r_last = chain_rounds_generic(
+            lo1, hi1, state0, products, 2, nv, donate=False, active_pairs=H0
         )
-        return parts[-1][0], state
-
-    stages["rounds_p1"] = best_of(rounds_p1)
-
-    parts1, state1, pair1, r_last = chain_rounds_generic(
-        lo1p + 0, hi1p + 0, state0, products, 2, nv,
-        donate=False, active_pairs=H0,
-    )
-    rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
-    p2 = GI._compiled_phase2_pair(nnz, nv, GI._mxu_key())
-
-    def phase2():
-        return p2(pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
-                  x, perm_y, last_y, w, rs1_dev, f3.device_bitrev())
-
-    stages["phase2_pair"] = best_of(phase2)
-    lo2, hi2 = phase2()
-    lo2p, hi2p = pad_pair(lo2, hi2)
-    jax.block_until_ready((lo2p, hi2p))
-
-    def rounds_p2():
-        parts, state, _pair, _r = chain_rounds_generic(
-            lo2p + 0, hi2p + 0, state1, products, 2, nv,
-            donate=False, active_pairs=H0,
+        if depth == 2:
+            return np.asarray(state[0])
+        rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
+        lo2, hi2 = p2(pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
+                      x, perm_y, last_y, w, rs1_dev, f3.device_bitrev())
+        if depth == 3:
+            return np.asarray(lo2[0, :, :1]), np.asarray(state[0])
+        lo2, hi2 = pad_pair(lo2, hi2)
+        parts2, state, _pair2, _r = chain_rounds_generic(
+            lo2, hi2, state, products, 2, nv, donate=False, active_pairs=H0
         )
-        return parts[-1][0], state
+        return np.asarray(state[0])
 
-    stages["rounds_p2"] = best_of(rounds_p2)
-
-    from sumcheck_tpu.protocol.generic_prover import _fetch
-
-    parts2, state2, _pair2, _ = chain_rounds_generic(
-        lo2p + 0, hi2p + 0, state1, products, 2, nv,
-        donate=False, active_pairs=H0,
-    )
-
-    def fetch():
-        return _fetch(parts1 + parts2, state2, 2)[0]
-
-    stages["fetch"] = best_of(fetch)
-
-    # transcript serial floor: run a tail-sized chain (extent < tail block,
-    # table math ~nil) for k rounds; per-round cost ~= transcript + one tiny
-    # masked block. Scale to the prove's 2*nv rounds.
-    k = min(8, nv)
-    from sumcheck_tpu.protocol.generic_prover import _TAIL_BLOCK, _chain_step
-
-    cstep = _chain_step(int(lo1p.shape[2]), 2, products, 2, _TAIL_BLOCK, False)
-    r0 = jnp.zeros((NUM_DIGITS,), jnp.uint32)
-
-    def tailchain():
-        return cstep(lo1p + 0, hi1p + 0, jnp.uint32(64), jnp.int32(k), r0,
-                     *state0)[2]
-
-    t_tail = best_of(tailchain)
-    stages["transcript_est"] = (t_tail / k) * (2 * nv)
+    stages: dict[str, float] = {}
+    stages["rtt"] = wall_best(probe_rtt)
+    stages["upto_phase1"] = wall_best(lambda: run(1))
+    stages["upto_rounds_p1"] = wall_best(lambda: run(2))
+    stages["upto_phase2"] = wall_best(lambda: run(3))
+    stages["upto_rounds_p2"] = wall_best(lambda: run(4))
 
     def full():
         return GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
 
-    full()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        full()
-        best = min(best, time.perf_counter() - t0)
-    stages["full_prove"] = best
-    stages["stage_sum"] = (
-        stages["phase1_pair"] + stages["rounds_p1"] + stages["phase2_pair"]
-        + stages["rounds_p2"] + stages["fetch"]
-    )
+    stages["full_prove"] = wall_best(full)
+
+    r = stages
+    derived = {
+        "phase1_pair": r["upto_phase1"] - r["rtt"],
+        "rounds_p1": r["upto_rounds_p1"] - r["upto_phase1"],
+        "phase2_pair": r["upto_phase2"] - r["upto_rounds_p1"],
+        "rounds_p2": r["upto_rounds_p2"] - r["upto_phase2"],
+        "fetch_and_host": r["full_prove"] - (r["upto_rounds_p2"] - r["rtt"]),
+    }
     out = {
         "nv": nv,
         "backend": jax.default_backend(),
-        **{kk: round(vv, 5) for kk, vv in stages.items()},
+        **{k: round(v, 5) for k, v in stages.items()},
+        "derived": {k: round(v, 5) for k, v in derived.items()},
     }
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(__file__), "..",
