@@ -34,7 +34,6 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from sumcheck_tpu.fields import limbs_jnp as LJ  # noqa: E402
-from sumcheck_tpu.fields import limbs_np as L  # noqa: E402
 from sumcheck_tpu.fields.fr import NUM_DIGITS, P  # noqa: E402
 
 
