@@ -34,7 +34,14 @@ from .mle import DenseMLE, SparseMLE
 from .portable import PortableDenseMLE, PortableSparseMLE
 from .protocol import IPForMLSumcheck
 from .transcript.blake2b_rng import Blake2b512Rng
-from .utils.errors import Reject, SumcheckError
+from .utils.errors import (
+    IOError_,
+    OtherError,
+    Reject,
+    RNGError,
+    SerializationError,
+    SumcheckError,
+)
 
 __version__ = "0.1.0"
 
@@ -52,10 +59,14 @@ __all__ = [
     "GKRRoundSumcheck",
     "GKRRoundSumcheckSubClaim",
     "IPForMLSumcheck",
+    "IOError_",
     "ListOfProductsOfPolynomials",
     "MLSumcheck",
+    "OtherError",
     "PolynomialInfo",
     "Reject",
+    "RNGError",
+    "SerializationError",
     "SparseMLE",
     "SumcheckError",
     "__version__",

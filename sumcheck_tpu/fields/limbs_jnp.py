@@ -186,6 +186,31 @@ class kernel_trace:
         return False
 
 
+_CIOS_OVERRIDE = _threading.local()
+
+
+class cios_trace_mode:
+    """Trace-time CIOS-mode override (thread-local, like `kernel_trace`).
+
+    Used INSIDE a traced function body so everything that function traces
+    uses the given mode regardless of the global default — e.g. the GKR
+    phase-init programs trace with rolled ``fori``: their multiply time is
+    negligible (the inits are gather-bound — RESULTS.md), but at the
+    fori16 default their eq-fold traces made them the bulk of the GKR cold
+    compile wall (410 s vs 116 s all-fori, COLD_COMPILE sweep round 4)."""
+
+    def __init__(self, mode: str):
+        self._mode = mode
+
+    def __enter__(self):
+        self._prev = getattr(_CIOS_OVERRIDE, "mode", None)
+        _CIOS_OVERRIDE.mode = self._mode
+
+    def __exit__(self, *exc):
+        _CIOS_OVERRIDE.mode = self._prev
+        return False
+
+
 def _cios_mode() -> tuple[bool, int]:
     """(unrolled, fori_unroll_factor) for this backend/config.
 
@@ -194,12 +219,15 @@ def _cios_mode() -> tuple[bool, int]:
     unrolled body; clamped to full inside Pallas kernels), ``auto``
     (default: measured on the v5e — fori16 keeps the warm runtime of the
     full unroll while the trace+lower wall drops ~3x; CPU loops un-unrolled
-    to keep XLA:CPU compile sane)."""
+    to keep XLA:CPU compile sane). A `cios_trace_mode` context (trace-time,
+    thread-local) takes precedence over the env var."""
     import os
 
     import jax
 
-    mode = os.environ.get("SUMCHECK_TPU_CIOS", "auto")
+    mode = getattr(_CIOS_OVERRIDE, "mode", None) or os.environ.get(
+        "SUMCHECK_TPU_CIOS", "auto"
+    )
     if mode == "auto":
         mode = "fori16" if jax.default_backend() == "tpu" else "fori"
     if mode == "unroll":

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..fields import limbs_jnp as LJ
 from ..fields import limbs_np as L
+from ..fields.limbs_jnp import cios_trace_mode
 from ..fields.fr import Fr, NUM_DIGITS
 
 # shared-scalar multiplies at or above this lane count take the MXU path
@@ -182,11 +183,15 @@ def _compiled_phase1(nnz: int, dim: int, mxu: str = "off"):
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev):
         # entries arrive pre-sorted by x (`_split_f1_device`), so the
         # segment reduce skips its gather; perm_x rides along unused to
-        # keep the split-tuple shape stable for the batch/stack callers
-        w = _weight_fold(gbits, values, g_r, g_omr, dim)
-        f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
-        wv = LJ.mont_mul(w, f3y)
-        hg = _segment_reduce_sorted(wv, None, last_x)
+        # keep the split-tuple shape stable for the batch/stack callers.
+        # Inits are gather-bound, so their multiplies trace with a small
+        # CIOS body (4x the compile speed, ~nil warm cost — see
+        # `cios_trace_mode`).
+        with cios_trace_mode("fori4"):
+            w = _weight_fold(gbits, values, g_r, g_omr, dim)
+            f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
+            wv = LJ.mont_mul(w, f3y)
+            hg = _segment_reduce_sorted(wv, None, last_x)
         return hg, w
 
     return jax.jit(fn)
@@ -195,8 +200,9 @@ def _compiled_phase1(nnz: int, dim: int, mxu: str = "off"):
 @functools.lru_cache(maxsize=None)
 def _compiled_phase2(nnz: int, dim: int, mxu: str = "off"):
     def fn(x, perm_y, last_y, w, u_r, u_omr):
-        w2 = _weight_fold(x, w, u_r, u_omr, dim)
-        return _segment_reduce_sorted(w2, perm_y, last_y)
+        with cios_trace_mode("fori4"):
+            w2 = _weight_fold(x, w, u_r, u_omr, dim)
+            return _segment_reduce_sorted(w2, perm_y, last_y)
 
     return jax.jit(fn)
 
@@ -353,10 +359,11 @@ def _phase1_pair_body(dim: int):
     def fn(gbits, perm_x, last_x, y_rev, values, g_r, g_omr, f3_bitrev,
            f2_bitrev):
         # entries pre-sorted by x: no segment gather (see `_compiled_phase1`)
-        w = _weight_fold(gbits, values, g_r, g_omr, dim)
-        f3y = jnp.take(f3_bitrev, y_rev, axis=1)
-        wv = LJ.mont_mul(w, f3y)
-        hg = _segment_reduce_sorted(wv, None, last_x)  # bitrev lane order
+        with cios_trace_mode("fori4"):  # gather-bound: small CIOS trace
+            w = _weight_fold(gbits, values, g_r, g_omr, dim)
+            f3y = jnp.take(f3_bitrev, y_rev, axis=1)
+            wv = LJ.mont_mul(w, f3y)
+            hg = _segment_reduce_sorted(wv, None, last_x)  # bitrev lane order
         n = 1 << dim
         s = jnp.stack([hg, f2_bitrev], axis=0)
         return s[:, :, : n // 2], s[:, :, n // 2 :], w
@@ -372,13 +379,14 @@ def _phase2_pair_body(dim: int):
 
     def fn(pair_lo, pair_hi, r_last, x, perm_y, last_y, w, u_digits,
            f3_bitrev):
-        l, h = pair_lo[1, :, 0], pair_hi[1, :, 0]
-        f2u = LJ.add(l, LJ.mont_mul(LJ.sub(h, l), r_last))
-        one = jnp.asarray(L.mont_scalar(1))
-        r_pts = [u_digits[i][:, None] for i in range(dim)]
-        omr_pts = [LJ.sub(one, r) for r in r_pts]
-        w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
-        f1gu = _segment_reduce_sorted(w2, perm_y, last_y)  # bitrev order
+        with cios_trace_mode("fori4"):  # gather-bound: small CIOS trace
+            l, h = pair_lo[1, :, 0], pair_hi[1, :, 0]
+            f2u = LJ.add(l, LJ.mont_mul(LJ.sub(h, l), r_last))
+            one = jnp.asarray(L.mont_scalar(1))
+            r_pts = [u_digits[i][:, None] for i in range(dim)]
+            omr_pts = [LJ.sub(one, r) for r in r_pts]
+            w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
+            f1gu = _segment_reduce_sorted(w2, perm_y, last_y)  # bitrev order
         n = 1 << dim
         from ..utils.config import get_config
 
@@ -435,11 +443,12 @@ def _compiled_phase2_digits(nnz: int, dim: int, mxu: str = "off"):
     """Phase-2 init from on-device challenge digits (Montgomery form)."""
 
     def fn(x, perm_y, last_y, w, u_digits):  # u_digits (dim, 16)
-        one = jnp.asarray(L.mont_scalar(1))  # (16, 1)
-        r_pts = [u_digits[i][:, None] for i in range(dim)]
-        omr_pts = [LJ.sub(one, r) for r in r_pts]
-        w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
-        return _segment_reduce_sorted(w2, perm_y, last_y)
+        with cios_trace_mode("fori4"):
+            one = jnp.asarray(L.mont_scalar(1))  # (16, 1)
+            r_pts = [u_digits[i][:, None] for i in range(dim)]
+            omr_pts = [LJ.sub(one, r) for r in r_pts]
+            w2 = _weight_fold(x, w, r_pts, omr_pts, dim)
+            return _segment_reduce_sorted(w2, perm_y, last_y)
 
     return jax.jit(fn)
 

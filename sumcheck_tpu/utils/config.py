@@ -35,7 +35,10 @@ class Config:
     # cold-compile fix); "persize" = one fused program per table size
     # (protocol/device_prover.py).
     chain_impl: str = os.environ.get("SUMCHECK_TPU_CHAIN_IMPL", "generic")
-    generic_block: int = int(os.environ.get("SUMCHECK_TPU_GENERIC_BLOCK", 1 << 13))
+    # 2^15 measured best on the v5e for both driver workloads (round 4:
+    # ML nv=20 0.1258 vs 0.1294 s at 2^13; GKR nv=18 0.1007 vs 0.1028):
+    # fewer masked-block loop iterations beat smaller working sets.
+    generic_block: int = int(os.environ.get("SUMCHECK_TPU_GENERIC_BLOCK", 1 << 15))
     # pad generic-chain buffers up to this lane family so every instance size
     # below it reuses ONE set of compiled round programs: "auto" = 2^19 lanes
     # (the nv=20 family) on real TPU, off elsewhere; an integer = that

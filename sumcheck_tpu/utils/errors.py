@@ -23,3 +23,23 @@ class Reject(SumcheckError):
 
 class SerializationError(SumcheckError):
     pass
+
+
+class IOError_(SumcheckError):
+    """Reference `Error::IOError` (`error.rs:10`): wraps I/O failures via a
+    `From` impl. The reference never constructs it in-crate; provided for
+    API-surface parity (callers composing larger protocols can reuse the
+    framework's error base the way `ark-sumcheck` users reuse `Error`)."""
+
+
+class RNGError(SumcheckError):
+    """Reference `Error::RNGError` (`error.rs:14`): randomness-source
+    failure. Never raised by the reference itself; parity surface only."""
+
+
+class OtherError(SumcheckError):
+    """Reference `Error::OtherError(String)` (`error.rs:17`): free-form
+    error carrier for downstream protocol layers."""
+
+    def __init__(self, msg: str):
+        super().__init__(msg)
