@@ -177,7 +177,7 @@ def _prove_batched_generic(fs_rngs, polynomials, degree: int, nv: int,
         lo, hi = jnp.pad(lo, padw), jnp.pad(hi, padw)
     H = lo.shape[3]
     U = lo.shape[1]
-    Blk = min(get_config().generic_block, H)
+    Blk = min(get_config().batch_block, H)
 
     lifted = [lift_transcript(r) for r in fs_rngs]
     blen0 = lifted[0].blen
@@ -657,7 +657,7 @@ class BatchedGKRRoundSumcheck:
         def run_phase(lo, hi, r, state):
             lo, hi = jnp.pad(lo, padw), jnp.pad(hi, padw)
             H = lo.shape[3]
-            Blk = min(get_config().generic_block, H)
+            Blk = min(get_config().batch_block, H)
             parts = []
             step = _bstep_generic(H, 2, products, 2, Blk, "first_block")
             lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)

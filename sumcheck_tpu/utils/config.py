@@ -39,6 +39,11 @@ class Config:
     # ML nv=20 0.1258 vs 0.1294 s at 2^13; GKR nv=18 0.1007 vs 0.1028):
     # fewer masked-block loop iterations beat smaller working sets.
     generic_block: int = int(os.environ.get("SUMCHECK_TPU_GENERIC_BLOCK", 1 << 15))
+    # The BATCHED provers run one chain with no narrow-tail split — every
+    # round pays >= 1 masked block per instance, so sub-block waste scales
+    # with block size: 2^13 measured 20.7 ms/proof at 8 x nv=16 vs 83 ms
+    # with the 2^15 chain default (round 4).
+    batch_block: int = int(os.environ.get("SUMCHECK_TPU_BATCH_BLOCK", 1 << 13))
     # pad generic-chain buffers up to this lane family so every instance size
     # below it reuses ONE set of compiled round programs: "auto" = 2^19 lanes
     # (the nv=20 family) on real TPU, off elsewhere; an integer = that
