@@ -86,8 +86,17 @@ _CACHE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", ".sol_roofline
 
 
 def measure_roofline(force: bool = False) -> dict:
-    """Measure the current backend's u32 multiply-add throughput and HBM copy
-    bandwidth; cached per backend in `.sol_roofline.json`."""
+    """Measure the current backend's rooflines; cached per backend in
+    `.sol_roofline.json`.
+
+    Method (round 4): every probe is a K-iteration `fori_loop` chain inside
+    ONE jit, timed by a tiny (64 B) fetch with the separately-measured
+    tunnel round-trip subtracted — per-op cost = (wall - rtt) / K. The
+    previous method timed whole-array-output kernels with
+    `block_until_ready` and no RTT subtraction; through the tunneled
+    backend that under-reported the Montgomery rate ~12x (78 M/s vs the
+    ~1 G/s the same op measures RTT-corrected), which is how committed
+    sweeps ended up with pct_sol > 100%."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,78 +111,72 @@ def measure_roofline(force: bool = False) -> dict:
     if not force and backend in cache:
         return cache[backend]
 
-    n = 1 << 22  # 16 MiB of u32 lanes
-    iters = 256  # UNROLLED in-trace: one fused kernel, ops stay in registers
-    # (a fori_loop body materializes to HBM every iteration and measures
-    # bandwidth, not ALU — it under-reported the u32 rate ~100x)
+    def wall_best(fn, reps=5):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    @jax.jit
-    def alu_kernel(a, b):
-        x = a
-        for _ in range(iters):
-            x = x * b + jnp.uint32(1)
-        return x
+    trivial = jax.jit(lambda t: t + 1)
+    small = jnp.zeros((8,), jnp.uint32)
+    np.asarray(trivial(small))
+    rtt = wall_best(lambda: np.asarray(trivial(small)))
 
-    a = jnp.arange(n, dtype=jnp.uint32)
-    b = jnp.full((n,), 3, jnp.uint32)
-    np.asarray(alu_kernel(a, b))  # compile + warm
-    t0 = time.perf_counter()
-    reps = 8
-    for _ in range(reps):
-        out = alu_kernel(a, b)
-    out.block_until_ready()
-    np.asarray(out[:1])  # tunneled-TPU-safe sync
-    dt = (time.perf_counter() - t0) / reps
-    alu_ops_per_s = 2.0 * iters * n / dt  # mul+add per lane-iter
-
-    # The PRIMARY roofline: measured throughput of the exact CIOS Montgomery
-    # multiply the round kernels run (BASELINE.json: "measured against
-    # speed-of-light limb-multiply throughput per chip"). A chain of
-    # dependent mont_muls on wide lanes, unrolled into one fused kernel.
     from ..fields import limbs_jnp as LJ
 
-    mlanes = 1 << 20
-    mchain = 8  # dependent chain, one fused kernel: ~pure ALU (HBM share of
-    # a call is ~190 MB vs ~50 ms of multiply work). An independent-products
-    # variant measured LOWER (register spills), so this is the faster and
-    # fairer reference rate.
-
-    @jax.jit
-    def mont_kernel(x, y):
-        for _ in range(mchain):
-            x = LJ.mont_mul(x, y)
-        return x
-
     rng = np.random.default_rng(0)
-    xd = jnp.asarray(rng.integers(0, 1 << 14, size=(16, mlanes), dtype=np.uint32))
-    yd = jnp.asarray(rng.integers(0, 1 << 14, size=(16, mlanes), dtype=np.uint32))
-    np.asarray(mont_kernel(xd, yd)[:, :1])
-    t0 = time.perf_counter()
-    for _ in range(4):
-        mout = mont_kernel(xd, yd)
-    mout.block_until_ready()
-    np.asarray(mout[:, :1])
-    dt = (time.perf_counter() - t0) / 4
-    mont_per_s = mchain * mlanes / dt
+    n = 1 << 18
+    K = 64  # ~25-50 ms of signal vs +-3 ms tunnel-RTT noise
 
     @jax.jit
-    def copy_kernel(x):
-        return x + jnp.uint32(1)
+    def mont_chain(a, b):
+        def body(i, x):
+            return LJ.mont_mul(x, b)
+        return jax.lax.fori_loop(0, K, body, a)
 
-    big = jnp.zeros((1 << 27,), jnp.uint32)  # 512 MiB
-    np.asarray(copy_kernel(big)[:1])
-    t0 = time.perf_counter()
-    for _ in range(4):
-        big2 = copy_kernel(big)
-    big2.block_until_ready()
-    np.asarray(big2[:1])
-    dt = (time.perf_counter() - t0) / 4
-    hbm_bytes_per_s = 2.0 * big.size * 4 / dt  # read + write
+    a = jnp.asarray(rng.integers(0, 1 << 14, size=(16, n), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 14, size=(16, n), dtype=np.uint32))
+    np.asarray(mont_chain(a, b)[0, :1])
+    w = wall_best(lambda: np.asarray(mont_chain(a, b)[0, :1]))
+    mont_per_s = K * n / max(w - rtt, 1e-6)
+
+    UNROLL = 64  # in-iteration unroll keeps the ALU probe compute-bound
+
+    @jax.jit
+    def alu_chain(x, y):
+        def body(i, x):
+            for _ in range(UNROLL):
+                x = x * y + jnp.uint32(1)
+            return x
+        return jax.lax.fori_loop(0, K, body, x)
+
+    xa = jnp.arange(1 << 22, dtype=jnp.uint32)
+    yb = jnp.full((1 << 22,), 3, jnp.uint32)
+    np.asarray(alu_chain(xa, yb)[:1])
+    w = wall_best(lambda: np.asarray(alu_chain(xa, yb)[:1]))
+    alu_ops_per_s = 2.0 * UNROLL * K * xa.size / max(w - rtt, 1e-6)
+
+    KH = 16
+
+    @jax.jit
+    def hbm_chain(x):
+        def body(i, x):
+            return x + jnp.uint32(1)  # one read + one write per iteration
+        return jax.lax.fori_loop(0, KH, body, x)
+
+    big = jnp.zeros((1 << 26,), jnp.uint32)  # 256 MiB
+    np.asarray(hbm_chain(big)[:1])
+    w = wall_best(lambda: np.asarray(hbm_chain(big)[:1]))
+    hbm_bytes_per_s = KH * 2.0 * big.size * 4 / max(w - rtt, 1e-6)
 
     result = {
         "u32_ops_per_s": alu_ops_per_s,
         "hbm_bytes_per_s": hbm_bytes_per_s,
         "mont_muls_per_s": mont_per_s,
+        "rtt_s": rtt,
     }
     cache[backend] = result
     try:
