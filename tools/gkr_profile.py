@@ -95,7 +95,8 @@ def main() -> None:
         lo1, hi1, w = p1(gbits_d, perm_x, last_x, yrev_d, vals_d,
                          g_r_d, g_omr_d, f3.device_bitrev(), f2.device_bitrev())
         if depth == 1:
-            return np.asarray(lo1[0, :, :1]), np.asarray(hi1[0, :, :1])
+            # ONE fetch: lo1 and hi1 come from the same program execution
+            return np.asarray(lo1[0, :, :1])
         H0 = lo1.shape[2]
         lo1, hi1 = pad_pair(lo1, hi1)
         parts1, state, pair1, r_last = chain_rounds_generic(
@@ -107,7 +108,7 @@ def main() -> None:
         lo2, hi2 = p2(pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
                       x, perm_y, last_y, w, rs1_dev, f3.device_bitrev())
         if depth == 3:
-            return np.asarray(lo2[0, :, :1]), np.asarray(state[0])
+            return np.asarray(lo2[0, :, :1])  # depends on p1+rounds1+p2
         lo2, hi2 = pad_pair(lo2, hi2)
         parts2, state, _pair2, _r = chain_rounds_generic(
             lo2, hi2, state, products, 2, nv, donate=False, active_pairs=H0
