@@ -9,19 +9,16 @@ device (JAX) round path gets exercised at small, fast-to-compile sizes.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# tests use a PER-RUN compile cache: XLA:CPU AOT entries in this container
-# are compiled with machine features the host doesn't fully support
-# (cpu_aot_loader warns "could lead to execution errors such as SIGILL"),
-# and deserializing certain cross-process entries reproducibly SEGFAULTS
-# (observed twice on the 8-device sharded-GKR program). In-process reuse is
-# safe; cross-process reuse of CPU entries is not. The TPU bench cache
-# (.jax_cache) is unaffected — its entries are platform-keyed.
-import tempfile
-
-os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
-    prefix="jaxcache-test-"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The persistent compile cache is DISABLED for tests: XLA:CPU executable
+# (de)serialization in this container is unsound — deserializing
+# cross-process entries reproducibly SEGFAULTED (round 2, 8-device
+# sharded-GKR program) and round 4 caught a segfault in the WRITE path
+# (zstd serialization inside put_executable_and_time) on the same
+# program family. A per-run tempdir cache was tried first; since reads
+# never hit within one run it was pure overhead plus the write-crash
+# risk. In-process jit caching (what actually matters here) is unaffected.
+# The TPU bench cache (.jax_cache) is unaffected — platform-keyed entries.
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

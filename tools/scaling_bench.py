@@ -40,11 +40,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# per-run cache: cross-process XLA:CPU AOT reuse can SIGSEGV in this
-# container (machine-feature mismatch in the AOT loader) — see tests/conftest
-import tempfile
-
-os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(prefix="jaxcache-")
+# persistent compile cache DISABLED: XLA:CPU executable (de)serialization
+# can SIGSEGV in this container on both read and write — see tests/conftest
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
