@@ -320,29 +320,31 @@ class GKRRoundSumcheck:
             return gkr_verify(rng, f, f2_num_vars, proof, claimed_sum)
         dim = f2_num_vars
 
-        phase1_vs = IPForMLSumcheck.verifier_init(
-            PolynomialInfo(max_multiplicands=2, num_variables=dim)
-        )
-        for i in range(dim):
-            pm = proof.phase1_sumcheck_msgs[i]
-            rng.feed(pm)
-            IPForMLSumcheck.verify_round(pm, phase1_vs, rng)
-        phase1_subclaim = IPForMLSumcheck.check_and_generate_subclaim(phase1_vs, claimed_sum)
-        u = phase1_subclaim.point
+        def run_phase(msgs, asserted: Fr):
+            """One dim-round degree-2 verification pass over `rng`: the
+            whole loop in one C call when the native core applies
+            (`protocol/verifier.native_verify_phase`), else the reference
+            per-round loop — identical bytes, results, and rejections."""
+            if len(msgs) >= dim > 0:
+                from .protocol.verifier import native_verify_phase
 
-        phase2_vs = IPForMLSumcheck.verifier_init(
-            PolynomialInfo(max_multiplicands=2, num_variables=dim)
-        )
-        for i in range(dim):
-            pm = proof.phase2_sumcheck_msgs[i]
-            rng.feed(pm)
-            IPForMLSumcheck.verify_round(pm, phase2_vs, rng)
-        phase2_subclaim = IPForMLSumcheck.check_and_generate_subclaim(
-            phase2_vs, phase1_subclaim.expected_evaluation
-        )
+                fast = native_verify_phase(rng, msgs[:dim], 3, asserted.v)
+                if fast is not None:
+                    point, final = fast
+                    return [Fr(x) for x in point], Fr(final)
+            vs = IPForMLSumcheck.verifier_init(
+                PolynomialInfo(max_multiplicands=2, num_variables=dim)
+            )
+            for i in range(dim):
+                pm = msgs[i]
+                rng.feed(pm)
+                IPForMLSumcheck.verify_round(pm, vs, rng)
+            sub = IPForMLSumcheck.check_and_generate_subclaim(vs, asserted)
+            return sub.point, sub.expected_evaluation
+
+        u, expected1 = run_phase(proof.phase1_sumcheck_msgs, claimed_sum)
+        v, expected2 = run_phase(proof.phase2_sumcheck_msgs, expected1)
 
         return GKRRoundSumcheckSubClaim(
-            u=u,
-            v=phase2_subclaim.point,
-            expected_evaluation=phase2_subclaim.expected_evaluation,
+            u=u, v=v, expected_evaluation=expected2
         )

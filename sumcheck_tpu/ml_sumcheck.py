@@ -152,8 +152,19 @@ class MLSumcheck:
                 fs_rng, f, polynomial_info, claimed_sum, proof
             )
         fs_rng.feed(polynomial_info)
+        nv = polynomial_info.num_variables
+        if len(proof) >= nv > 0:
+            from .protocol.verifier import native_verify_phase
+
+            fast = native_verify_phase(
+                fs_rng, proof[:nv],
+                polynomial_info.max_multiplicands + 1, claimed_sum.v,
+            )
+            if fast is not None:  # whole pass ran in one C call
+                point, final = fast
+                return SubClaim([Fr(x) for x in point], Fr(final))
         verifier_state = IPForMLSumcheck.verifier_init(polynomial_info)
-        for i in range(polynomial_info.num_variables):
+        for i in range(nv):
             if i >= len(proof):
                 raise IndexError("proof is incomplete")
             prover_msg = proof[i]

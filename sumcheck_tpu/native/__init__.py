@@ -84,6 +84,10 @@ def lib():
         L.fr_interp_eval.argtypes = [vp, u64, vp, vp, vp, u64, vp, vp]
         L.fr_check_rounds.restype = ctypes.c_int
         L.fr_check_rounds.argtypes = [vp, u64, u64, vp, vp, vp, vp, u64, vp, vp]
+        L.fr_verify_rounds.restype = ctypes.c_int
+        L.fr_verify_rounds.argtypes = [
+            vp, cp, u64, u64, vp, vp, vp, u64, u64, vp, vp, vp
+        ]
         if int(L.b2_ctx_size()) > 512:
             return None  # struct layout surprise; refuse rather than corrupt
         _lib = L

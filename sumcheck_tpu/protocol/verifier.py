@@ -278,6 +278,53 @@ def _native_check():
     return call
 
 
+def native_verify_phase(rng, msgs, d1: int, asserted_v: int):
+    """One WHOLE verification pass — per-round transcript feed + challenge
+    sample + deferred checks — in a single C call (`fr_verify_rounds`).
+
+    Fuses what `verify_round` x nv + `check_and_generate_subclaim` compute
+    (reference `verifier.rs:54-121`), byte- and result-identical: the C loop
+    absorbs exactly the bytes `feed(prover_msg)` would, draws exactly the
+    ark-ff challenge stream, and runs the same check order. Returns
+    (point_ints, final_expected_int) on success, None when the fast path
+    does not apply (no native core in `rng`, non-uniform evaluation counts,
+    degree too large) — the caller must then run the Python loop, whose
+    observable behavior is identical. Raises `Reject` on a failed
+    consistency check (after the transcript has advanced through every
+    round, matching the lazy verifier)."""
+    from ..fields.fr import SHAVE_BITS
+    from ..transcript.blake2b_rng import _NativeCore
+
+    core = getattr(rng, "_h", None)
+    if not isinstance(core, _NativeCore):
+        return None
+    st = _native_ctx()
+    if st is None or d1 > 36 or d1 < 2:
+        return None
+    if any(len(m.evaluations) != d1 for m in msgs):
+        return None
+    ct = st["ctypes"]
+    blob = b"".join(m.serialize_uncompressed() for m in msgs)
+    nv = len(msgs)
+    rands = ct.create_string_buffer(32 * max(nv, 1))
+    out = st["out"]
+    rc = st["lib"].fr_verify_rounds(
+        core._ctx, blob, nv, d1, st["limbs4"](asserted_v),
+        st["consts_mont"](d1), st["p"],
+        ct.c_uint64((1 << (64 - SHAVE_BITS)) - 1), st["ninv0"], st["r2"],
+        rands, out,
+    )
+    if rc <= -1000:
+        return None  # degree out of the C range (callers bound it, be safe)
+    if rc < 0:
+        raise Reject("Prover message is not consistent with the claim.")
+    point = [
+        int.from_bytes(rands.raw[32 * i : 32 * i + 32], "little")
+        for i in range(nv)
+    ]
+    return point, int.from_bytes(out.raw, "little")
+
+
 def _lagrange_consts(n: int, _cache: dict = {}) -> list[int]:
     out = _cache.get(n)
     if out is None:

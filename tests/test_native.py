@@ -107,3 +107,90 @@ def test_native_check_rounds_matches_python(rnd):
         V._native_state[0] = saved
     assert sub_native.point == sub_py.point
     assert sub_native.expected_evaluation == sub_py.expected_evaluation
+
+
+def test_native_verify_phase_matches_python(rnd):
+    """The ONE-CALL whole-verify loop (`fr_verify_rounds`: feed + sample +
+    check fused in C) against the per-round Python loop: same subclaim, same
+    post-verify transcript state (verifies compose via
+    `verify_as_subprotocol`), same Reject on a corrupted proof."""
+    from sumcheck_tpu import (
+        Blake2b512Rng, Fr, ListOfProductsOfPolynomials, MLSumcheck,
+    )
+    from sumcheck_tpu.mle import DenseMLE
+    from sumcheck_tpu.utils.errors import Reject
+
+    if V._native_ctx() is None:
+        import pytest
+
+        pytest.skip("native core unavailable")
+    nv = 5
+    poly = ListOfProductsOfPolynomials(nv)
+    poly.add_product([DenseMLE.rand(nv, rnd) for _ in range(2)], Fr(3))
+    poly.add_product([DenseMLE.rand(nv, rnd) for _ in range(3)], Fr(11))
+    proof = MLSumcheck.prove(poly)
+    s = MLSumcheck.extract_sum(proof)
+
+    r_fast = Blake2b512Rng.setup()
+    sub_fast = MLSumcheck.verify_as_subprotocol(r_fast, poly.info(), s, proof)
+    saved = V._native_state[0]
+    try:
+        V._native_state[0] = False  # fast path refuses -> Python loop
+        r_slow = Blake2b512Rng.setup()
+        sub_slow = MLSumcheck.verify_as_subprotocol(
+            r_slow, poly.info(), s, proof
+        )
+    finally:
+        V._native_state[0] = saved
+    assert sub_fast.point == sub_slow.point
+    assert sub_fast.expected_evaluation == sub_slow.expected_evaluation
+    assert r_fast.state_tuple() == r_slow.state_tuple()
+
+    # Reject parity: corrupt one mid-proof evaluation
+    bad = [type(m)(list(m.evaluations)) for m in proof]
+    bad[2].evaluations[1] = bad[2].evaluations[1] + Fr(1)
+    import pytest
+
+    with pytest.raises(Reject):
+        MLSumcheck.verify(poly.info(), s, bad)
+    try:
+        V._native_state[0] = False
+        with pytest.raises(Reject):
+            MLSumcheck.verify(poly.info(), s, bad)
+    finally:
+        V._native_state[0] = saved
+
+
+def test_native_verify_phase_gkr_matches_python(rnd):
+    """GKR verify through the fused C loop == Python loop (subclaim + the
+    phase-2 chaining of phase-1's expected evaluation)."""
+    import random as _random
+
+    from sumcheck_tpu import Blake2b512Rng, Fr, GKRRoundSumcheck
+    from sumcheck_tpu.fields.fr import P as _P
+    from sumcheck_tpu.mle import DenseMLE, SparseMLE
+
+    if V._native_ctx() is None:
+        import pytest
+
+        pytest.skip("native core unavailable")
+    dim = 4
+    prnd = _random.Random(97)
+    f1 = SparseMLE.rand_with_config(3 * dim, 1 << dim, prnd)
+    f2, f3 = DenseMLE.rand(dim, rnd), DenseMLE.rand(dim, rnd)
+    g = [Fr(prnd.randrange(_P)) for _ in range(dim)]
+    proof = GKRRoundSumcheck.prove(Blake2b512Rng.setup(), f1, f2, f3, g)
+    s = proof.extract_sum()
+    sub_fast = GKRRoundSumcheck.verify(Blake2b512Rng.setup(), dim, proof, s)
+    saved = V._native_state[0]
+    try:
+        V._native_state[0] = False
+        sub_slow = GKRRoundSumcheck.verify(
+            Blake2b512Rng.setup(), dim, proof, s
+        )
+    finally:
+        V._native_state[0] = saved
+    assert sub_fast.u == sub_slow.u
+    assert sub_fast.v == sub_slow.v
+    assert sub_fast.expected_evaluation == sub_slow.expected_evaluation
+    assert sub_fast.verify_subclaim(f1, f2, f3, g)
