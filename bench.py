@@ -33,6 +33,7 @@ Environment: BENCH_NV (default 20 ml / 18 gkr / 16 batch), BENCH_REPS
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -90,6 +91,89 @@ def random_mle(nv: int, rng) -> DenseMLE:
     digits = rng.integers(0, 1 << 16, size=(NUM_DIGITS, 1 << nv), dtype=np.uint32)
     digits[NUM_DIGITS - 1] >>= 2  # < 2^254 < p
     return DenseMLE(nv, digits)
+
+
+class DeviceRandMLE:
+    """Bench-only MLE whose table is generated ON DEVICE — setup only.
+
+    The nv=24 reference workload is 6 tables x 1 GB; through the ~15 MB/s
+    tunnel the host->device upload alone is ~7 minutes, all outside the
+    measured prove (the reference's tables likewise sit in prover memory
+    before `prove` runs, `prover.rs:49-69`). Generating the same
+    distribution on device (uniform 16-bit digits, top two bits shaved —
+    identical to `random_mle`) makes the north-star size measurable here.
+    The measured prove is byte-for-byte the production path; only where the
+    random bytes come from differs. Duck-types the `DenseMLE` surface the
+    device prover consumes (`num_vars`, `host_packed_bitrev`,
+    `device_bitrev`, `_dev_bitrev`)."""
+
+    __slots__ = ("num_vars", "_seed", "_dev_bitrev")
+
+    def __init__(self, nv: int, seed: int):
+        self.num_vars = nv
+        self._seed = seed
+        self._dev_bitrev = None
+
+    def host_packed_bitrev(self):
+        """(8, 2^nv) packed uint32 digits, generated on device (the
+        incremental big-pair init consumes exactly this shape)."""
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def gen(key, nv):
+            bits = jax.random.bits(key, (NUM_DIGITS // 2, 1 << nv), jnp.uint32)
+            # row 7 = digit14 | digit15<<16; shave digit15 to 14 bits (< p)
+            top = bits[NUM_DIGITS // 2 - 1] & jnp.uint32(0x3FFFFFFF)
+            return bits.at[NUM_DIGITS // 2 - 1].set(top)
+
+        return gen(jax.random.PRNGKey(self._seed), self.num_vars)
+
+    def device_bitrev(self):
+        """(16, 2^nv) unpacked digits (the non-incremental init path)."""
+        if self._dev_bitrev is None:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def unpack(packed):
+                lo = packed & jnp.uint32(0xFFFF)
+                hi = packed >> 16
+                n = packed.shape[1]
+                return jnp.stack([lo, hi], axis=1).reshape(NUM_DIGITS, n)
+
+            self._dev_bitrev = unpack(self.host_packed_bitrev())
+        return self._dev_bitrev
+
+
+def build_ml_poly_devicegen(nv: int) -> ListOfProductsOfPolynomials:
+    """The reference ML bench workload with device-generated tables."""
+    poly = ListOfProductsOfPolynomials(nv)
+    slot = 0
+    for _ in range(2):
+        mles = [DeviceRandMLE(nv, 1000 + slot + j) for j in range(3)]
+        slot += 3
+        poly.add_product(mles, Fr(0x1234567 + slot))
+    return poly
+
+
+def bench_ml_devicegen(nv: int, reps: int):
+    """ML prove wall at big nv (22/24): the BASELINE north-star sizes,
+    measured (not extrapolated) — tables device-generated (see
+    `DeviceRandMLE`), prove/verify the production path."""
+    poly = build_ml_poly_devicegen(nv)
+    info = poly.info()
+    t0 = time.perf_counter()
+    proof = MLSumcheck.prove(poly)
+    print(f"# ml nv={nv} (devgen) warmup prove: {time.perf_counter()-t0:.3f}s",
+          file=sys.stderr)
+    s = MLSumcheck.extract_sum(proof)
+    MLSumcheck.verify(info, s, proof)
+    verify_s = time_verify_median(
+        lambda: MLSumcheck.verify(info, s, proof), f"ml nv={nv} verify"
+    )
+    best = time_best(lambda: MLSumcheck.prove(poly), reps, f"ml nv={nv} prove")
+    return best, verify_s
 
 
 def build_ml_poly(nv: int, rng) -> ListOfProductsOfPolynomials:
@@ -342,8 +426,20 @@ def _emit_headline(metric: str, best: float, baseline: float) -> None:
 
 
 def bench_all(reps: int, rng):
-    extra = {}
     path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+    # Preserve the big-nv north-star entries measured by the dedicated
+    # `BENCH_PROTO=ml_big` runs (warm alone costs minutes at nv=24; the
+    # driver capture re-measures them only when its deadline allows, below).
+    # Their `measured_by` field records the provenance.
+    extra = {}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        for k in ("ml_nv22", "ml_nv24"):
+            if k in prev and "prove_s" in prev[k]:
+                extra[k] = {**prev[k], "measured_by": "BENCH_PROTO=ml_big run"}
+    except Exception:  # noqa: BLE001 — absent/old artifact: start fresh
+        pass
 
     def flush_extra():
         # incremental artifact writes: a timeout mid-extras keeps every
@@ -407,6 +503,21 @@ def bench_all(reps: int, rng):
         except Exception as e:  # noqa: BLE001
             extra[f"batch{batch}_nv16"] = {"error": repr(e)}
         flush_extra()
+    # the nv=24 north-star, re-measured fresh when the deadline allows
+    # (otherwise the preserved ml_big entry above stands)
+    if _remaining_s() > max(6 * ml_total, 320.0):
+        try:
+            best24, v24 = bench_ml_devicegen(24, reps)
+            extra["ml_nv24"] = {
+                "prove_s": round(best24, 6), "verify_s": round(v24, 6),
+                "vs_baseline_prove": round(BASELINE_ML_PROVE_S[24] / best24, 3),
+                "vs_baseline_verify": round(baseline_ml_verify(24) / v24, 3),
+                "tables": "device-generated (DeviceRandMLE)",
+                "measured_by": "driver capture",
+            }
+        except Exception as e:  # noqa: BLE001
+            extra.setdefault("ml_nv24", {})["driver_error"] = repr(e)[:300]
+        flush_extra()
     print(f"# wrote {path}: {json.dumps(extra)}", file=sys.stderr)
     return None
 
@@ -460,6 +571,30 @@ def main() -> None:
         nv = int(os.environ.get("BENCH_NV", "20"))
         best, _ = _crashproof(lambda: bench_ml(nv, reps, rng), f"ml nv={nv}", {})
         metric, baseline = f"mlsumcheck_prove_nv{nv}_wallclock", baseline_prove(BASELINE_ML_PROVE_S, nv)
+    elif proto == "ml_big":
+        # the BASELINE north-star sizes, measured at HEAD (device-generated
+        # tables; see DeviceRandMLE). Updates BENCH_EXTRA.json in place.
+        path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+        try:
+            with open(path) as f:
+                extra = json.load(f)
+        except Exception:  # noqa: BLE001 — artifact may not exist yet
+            extra = {}
+        nv = 0
+        for nv in (int(x) for x in os.environ.get("BENCH_NV", "22,24").split(",")):
+            best, verify_s = bench_ml_devicegen(nv, reps)
+            extra[f"ml_nv{nv}"] = {
+                "prove_s": round(best, 6), "verify_s": round(verify_s, 6),
+                "vs_baseline_prove": round(
+                    baseline_prove(BASELINE_ML_PROVE_S, nv) / best, 3),
+                "vs_baseline_verify": round(baseline_ml_verify(nv) / verify_s, 3),
+                "tables": "device-generated (DeviceRandMLE)",
+            }
+            with open(path, "w") as f:
+                json.dump(extra, f, indent=1)
+            print(f"# {nv}: {extra[f'ml_nv{nv}']}", file=sys.stderr)
+        metric = f"mlsumcheck_prove_nv{nv}_wallclock"
+        baseline = baseline_prove(BASELINE_ML_PROVE_S, nv)
     elif proto == "sweep":
         metric, best, baseline = bench_sweep(reps, rng)
     else:

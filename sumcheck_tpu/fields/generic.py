@@ -89,9 +89,15 @@ class Field:
                  "R2", "_draw_mask", "is_default")
 
     def __init__(self, prime: int, name: str = ""):
-        assert prime % 2 == 1 and 3 <= prime.bit_length() <= 255, (
-            "field must be an odd prime of <= 255 bits (arkworks 4x64 shape)"
-        )
+        if not (prime % 2 == 1 and 3 <= prime.bit_length() <= 255):
+            raise ValueError(
+                f"unsupported field modulus ({prime.bit_length()}-bit, "
+                f"{'even' if prime % 2 == 0 else 'odd'}): sumcheck_tpu "
+                "serves odd primes of 3..255 bits in the arkworks "
+                "4x64-limb / R=2^256 Montgomery shape — see README.md "
+                "'Field support envelope' for the exact contract "
+                "(extension fields and wider primes are out of scope)"
+            )
         self.P = prime
         self.name = name or f"prime_{prime.bit_length()}b_{prime % 100000}"
         self.MODULUS_BITS = prime.bit_length()

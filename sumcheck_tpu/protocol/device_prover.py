@@ -203,10 +203,14 @@ def _stacker(plan_key: tuple, need_ones: bool, n: int, num_tabs: int):
     return jax.jit(stack)
 
 
-# above this many table bytes, the stacked pair is cached on the polynomial
-# (reused across proves; the chain then must not donate its first fold) and
-# the now-redundant per-MLE device copies are dropped — at nv=24 the 6-table
-# reference workload is 6.4 GB, and holding it twice exhausts a 16 GB HBM.
+# above this many table bytes, the pair is built incrementally (peak HBM =
+# pair + ONE packed table) and NOT cached on the polynomial: the per-MLE
+# device copies are dropped, and each prove re-initializes the pair and
+# donates it into the round chain. Round-5 bisection on the v5e: the chain's
+# while-loop carry needs a ping-pong temp of pair size, so cached pair +
+# working copy + temp = 3x pair bytes = 19.2 GB at nv=24 — the prove
+# executes only when at most TWO pair-sized allocations are live. Re-init
+# per prove (device-side generation or re-upload) is the price of fitting.
 _BIG_PAIR_BYTES = int(os.environ.get("SUMCHECK_TPU_BIG_PAIR_BYTES", 2 << 30))
 
 
@@ -276,6 +280,18 @@ def _init_pair_incremental(polynomial, plan_key, scale_plan, num_slots,
                 lo, hi = _slot_writer(num_slots, n, True)(lo, hi, packed, col, dst)
     if need_ones:
         lo, hi = _ones_writer(n)(lo, hi, num_slots - 1)
+    # One sync before returning: TPU execution allocates output buffers at
+    # ENQUEUE time and frees inputs only when execution completes, so the
+    # fully-async pipeline (per-table uploads/generators + slot writers +
+    # the caller's pair copy + the round chain) holds every packed table
+    # alive at once — at nv=24 that transient pushed the live set past HBM
+    # and the prove died RESOURCE_EXHAUSTED at the final fetch. Waiting here
+    # retires the per-table buffers before the prover enqueues; this is the
+    # once-per-polynomial setup path, so the ~25 ms tunnel round-trip is
+    # noise.
+    import jax
+
+    jax.block_until_ready(lo)
     return lo, hi
 
 
@@ -305,13 +321,12 @@ def init_pair(polynomial):
         lo, hi = _init_pair_incremental(
             polynomial, plan_key, scale_plan, num_slots, need_ones, n
         )
-        for m in mles:  # the pair is the device cache; per-MLE copies waste HBM
+        for m in mles:  # per-MLE device copies would waste HBM at this scale
             m._dev_bitrev = None
-        try:
-            polynomial._dev_pair = (plan_key, (lo, hi))
-        except AttributeError:
-            big = False
-        return lo, hi, products, polynomial.max_multiplicands, big
+        # reusable=False: the chain donates this pair (see _BIG_PAIR_BYTES —
+        # holding a cached pair AND a working copy AND the chain's ping-pong
+        # temp is 3x pair bytes and OOMs nv=24)
+        return lo, hi, products, polynomial.max_multiplicands, False
 
     tabs = tuple(m.device_bitrev() for m in mles)
     coeff_cols = tuple(jnp.asarray(L.mont_scalar(c)) for _, _, c in scale_plan)

@@ -70,7 +70,7 @@ def _use_pallas_chain(block: int | None = None) -> bool:
         return True
     if cfg.pallas == "off":
         return False
-    return (block is not None and block <= _TAIL_BLOCK
+    return (block is not None and block <= _TAIL_BLOCK()
             and jax.default_backend() == "tpu")
 
 
@@ -302,7 +302,14 @@ def _generic_step_impl(H: int, num_slots: int, products: tuple, degree: int,
 
 
 _R_CAP = 32  # static message-buffer depth of a chain program (rounds <= 30)
-_TAIL_BLOCK = 512  # narrow-chain block for rounds with extent < generic_block
+
+
+def _TAIL_BLOCK() -> int:
+    """Narrow-chain block (config knob SUMCHECK_TPU_TAIL_BLOCK, default 2^9)
+    for rounds whose extent has fallen below the wide block."""
+    from ..utils.config import get_config
+
+    return get_config().tail_block
 
 
 def _chain_step(H: int, num_slots: int, products: tuple, degree: int,
@@ -395,33 +402,57 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
     serially; the compile service runs server-side, so three Python threads
     overlap the compiles and the cold wall drops to ~max instead of ~sum.
     Each thread executes one dummy round on zero buffers (compile + one cheap
-    run); results are discarded, the jitted executables stay cached."""
+    run); results are discarded, the jitted executables stay cached.
+
+    Big tables compile AOT instead: three concurrent zero (lo, hi) sets cost
+    `3 * 2 * U * 16 * H * 4` bytes of HBM — 19.2 GB at the nv=24 family,
+    which OOMed a 16 GB chip before any real work ran. Above ~2 GB per set
+    the warm lowers onto `jax.ShapeDtypeStruct`s and calls `.compile()`
+    (server-side compile, zero device allocation); the first real call then
+    re-resolves through the persistent compilation cache the AOT compile
+    just populated."""
     import concurrent.futures
 
+    import jax
     import jax.numpy as jnp
 
     programs = ["first_block"]
     if num_rounds > 1:
         programs.append("fold_chain")
-        if min(B, _TAIL_BLOCK) != B:
+        if min(B, _TAIL_BLOCK()) != B:
             programs.append("fold_chain_tail")
 
+    set_bytes = 2 * num_slots * NUM_DIGITS * H * 4
+    aot = set_bytes > (2 << 30)
+
     def compile_one(name):
-        lo = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
-        hi = jnp.zeros((num_slots, NUM_DIGITS, H), jnp.uint32)
-        r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
-        h = jnp.zeros((8, 2), jnp.uint32)
-        buf = jnp.zeros((16, 2), jnp.uint32)
+        mk = (
+            (lambda s, d: jax.ShapeDtypeStruct(s, d)) if aot
+            else (lambda s, d: jnp.zeros(s, d))
+        )
+        lo = mk((num_slots, NUM_DIGITS, H), jnp.uint32)
+        hi = mk((num_slots, NUM_DIGITS, H), jnp.uint32)
+        r = mk((NUM_DIGITS,), jnp.uint32)
+        h = mk((8, 2), jnp.uint32)
+        buf = mk((16, 2), jnp.uint32)
+        if aot:
+            u32 = lambda _v: jax.ShapeDtypeStruct((), jnp.uint32)  # noqa: E731
+            i32 = lambda _v: jax.ShapeDtypeStruct((), jnp.int32)  # noqa: E731
+        else:
+            u32, i32 = jnp.uint32, jnp.int32
         if name.startswith("fold_chain"):
-            Bc = min(B, _TAIL_BLOCK) if name.endswith("tail") else B
+            Bc = min(B, _TAIL_BLOCK()) if name.endswith("tail") else B
             cstep = _chain_step(H, num_slots, products, degree, Bc, donate)
-            out = cstep(lo, hi, jnp.uint32(Bc), jnp.int32(1), r, h,
-                        jnp.uint32(0), buf, jnp.uint32(0))
+            args = (lo, hi, u32(Bc), i32(1), r, h, u32(0), buf, u32(0))
+            fn = cstep
         else:
             step = _generic_step(H, num_slots, products, degree, B, name, donate)
-            out = step(lo, hi, jnp.uint32(H0), r, h, jnp.uint32(0), buf,
-                       jnp.uint32(0))
-        out[2].block_until_ready()
+            args = (lo, hi, u32(H0), r, h, u32(0), buf, u32(0))
+            fn = step
+        if aot:
+            fn.lower(*args).compile()
+        else:
+            fn(*args)[2].block_until_ready()
 
     with concurrent.futures.ThreadPoolExecutor(len(programs)) as ex:
         list(ex.map(compile_one, programs))
@@ -474,12 +505,23 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
         _warm_family(H, U, products, degree, B, donate, H0, num_rounds)
         _warmed_families.add(key)
 
+    # Huge tables serialize the 3 chain dispatches: the TPU runtime reserves
+    # execution resources at ENQUEUE time, and queueing all stages of an
+    # nv=24 prove (2 x 3.2 GB donated pair buffers flowing through 3
+    # programs) exhausted the device even though the executed live set fits
+    # — block_until_ready between stages bounds the reservation to one
+    # in-flight program. Two extra ~25 ms tunnel round-trips per prove,
+    # engaged only above 2 GB per buffer set where prove wall is seconds.
+    big_sync = 2 * U * NUM_DIGITS * H * 4 > (2 << 30)
+
     r = jnp.zeros((NUM_DIGITS,), jnp.uint32)
     parts = []
 
     step = _generic_step(H, U, products, degree, B, "first_block", donate)
     lo, hi, r, state, canon = step(lo, hi, jnp.uint32(H0), r, *state)
     parts.append((canon[None], r[None], 1))
+    if big_sync:
+        jax.block_until_ready(lo)
 
     # Tail rounds with A2 < B still pay one FULL masked B-block of Montgomery
     # ALU (the mask zeroes results, not work), ~2.5 ms/round at B=2^13 — the
@@ -487,7 +529,7 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
     # the chain is split: rounds whose extent fills at least one B-block run
     # in the big-B chain; the rest run in a narrow-B chain whose masked slab
     # is ~B/B_TAIL x cheaper. One extra compiled program per family.
-    B_tail = min(B, _TAIL_BLOCK)
+    B_tail = min(B, _TAIL_BLOCK())
     n_rest = num_rounds - 1
     if n_rest > 0:
         # rounds j = 1 .. with extent H0 >> j; big rounds need H0 >> j >= B
@@ -500,6 +542,8 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
                 lo, hi, jnp.uint32(H0 >> 1), jnp.int32(n_big), r, *state
             )
             parts.append((msgs, rs, n_big))
+            if big_sync:
+                jax.block_until_ready(lo)
         if n_rest - n_big > 0:
             cstep = _chain_step(H, U, products, degree, B_tail, donate)
             lo, hi, r, state, msgs, rs = cstep(
@@ -507,6 +551,8 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
                 jnp.int32(n_rest - n_big), r, *state
             )
             parts.append((msgs, rs, n_rest - n_big))
+            if big_sync:
+                jax.block_until_ready(lo)
     return parts, state, (lo, hi), r
 
 
@@ -581,6 +627,10 @@ def prove_generic(fs_rng, polynomial, block: int | None = None):
         # work on a device-side copy (HBM->HBM, ~10 ms/GB vs ~1 s/GB re-upload)
         cp = _copier()
         lo, hi = cp(lo), cp(hi)
+        if lo.size * 8 > (2 << 30):  # huge pair: see big_sync in chain_rounds
+            import jax
+
+            jax.block_until_ready(lo)
 
     ts = lift_transcript(fs_rng)
     state = (ts.h, ts.t, ts.buf, jnp.uint32(ts.blen))

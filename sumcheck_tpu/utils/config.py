@@ -44,6 +44,11 @@ class Config:
     # with block size: 2^13 measured 20.7 ms/proof at 8 x nv=16 vs 83 ms
     # with the 2^15 chain default (round 4).
     batch_block: int = int(os.environ.get("SUMCHECK_TPU_BATCH_BLOCK", 1 << 13))
+    # narrow-chain block for rounds whose extent has fallen below
+    # generic_block (the Pallas tail chain). 2^9 measured best for the GKR
+    # nv=18 driver workload on the v5e (round-5 tail sweep); raise/lower to
+    # re-A/B on other hardware.
+    tail_block: int = int(os.environ.get("SUMCHECK_TPU_TAIL_BLOCK", 1 << 9))
     # pad generic-chain buffers up to this lane family so every instance size
     # below it reuses ONE set of compiled round programs: "auto" = 2^19 lanes
     # (the nv=20 family) on real TPU, off elsewhere; an integer = that
@@ -53,9 +58,22 @@ class Config:
     # Montgomery multiply by the shared round challenge, bit-identical to the
     # VPU CIOS path. "off" | "on"/"xla" (jnp chain body, XLA-scheduled dots)
     # | "kernel" (in-Pallas dots, single HBM pass) | "auto" (backend default).
+    # A/B RESEARCH BODIES: both non-off modes measured SLOWER than the
+    # default hybrid on the v5e (MXU_AB.json, round 4) and are quarantined
+    # behind SUMCHECK_TPU_AB=1 (VERDICT round-4 ask #8). They stay in-tree
+    # as measured A/B fixtures, not product paths.
     mxu_fold: str = os.environ.get("SUMCHECK_TPU_MXU_FOLD", "auto")
+    # dev flag unlocking the quarantined A/B bodies (losing measured
+    # alternatives kept for future re-measurement on new hardware).
+    ab: bool = os.environ.get("SUMCHECK_TPU_AB", "0") not in ("", "0", "off")
 
     def mxu_mode(self) -> str:
+        if self.mxu_fold in ("on", "xla", "kernel") and not self.ab:
+            raise ValueError(
+                f"SUMCHECK_TPU_MXU_FOLD={self.mxu_fold!r} is a quarantined "
+                "A/B body (measured slower than the default on the v5e, "
+                "MXU_AB.json); set SUMCHECK_TPU_AB=1 to enable it anyway"
+            )
         if self.mxu_fold in ("on", "xla"):
             return "xla"
         if self.mxu_fold == "kernel":

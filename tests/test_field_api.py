@@ -109,7 +109,24 @@ def test_portable_engine_matches_fast_path_bytes(rnd):
 def test_field_constructor_rejects_bad_primes():
     from sumcheck_tpu import Field
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         Field(1 << 256)  # too wide for the 4x64 shape
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         Field(10)  # even
+
+
+def test_unsupported_prime_shape_rejected():
+    """The field-genericity contract (README 'Field support envelope') is a
+    hard API boundary: unsupported modulus shapes raise with a pointer to
+    the documented contract (VERDICT round-4 ask #9)."""
+    import pytest
+
+    from sumcheck_tpu.fields.generic import Field
+
+    for bad in (1 << 256, (1 << 255) + 5, 1 << 60, 4):  # wide / even
+        with pytest.raises(ValueError, match="Field support envelope"):
+            Field(bad)
+    for bad in (1, 0):  # below the 3-bit floor
+        with pytest.raises(ValueError, match="Field support envelope"):
+            Field(bad)
+    Field((1 << 61) - 1)  # Mersenne prime in range: accepted

@@ -68,10 +68,10 @@ def test_kernel_multidim_shape():
 @pytest.fixture
 def _mxu_fold_on():
     cfg = get_config()
-    saved = cfg.mxu_fold
-    cfg.mxu_fold = "on"
+    saved = (cfg.mxu_fold, cfg.ab)
+    cfg.mxu_fold, cfg.ab = "on", True  # quarantined A/B body: unlock
     yield
-    cfg.mxu_fold = saved
+    cfg.mxu_fold, cfg.ab = saved
 
 
 def test_chained_prove_with_mxu_fold_matches_host(rnd, _mxu_fold_on):
@@ -97,16 +97,17 @@ def test_chained_prove_with_mxu_kernel_matches_host(rnd):
     the host path."""
     poly, _ = random_list_of_products(6, (2, 3), 2, rnd)
     cfg = get_config()
-    saved = (cfg.engine, cfg.mxu_fold, cfg.pallas)
+    saved = (cfg.engine, cfg.mxu_fold, cfg.pallas, cfg.ab)
     cfg.engine = "host"
     try:
         href, _ = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
-        cfg.engine, cfg.mxu_fold, cfg.pallas = "device", "kernel", "on"
+        cfg.engine, cfg.mxu_fold, cfg.pallas, cfg.ab = (
+            "device", "kernel", "on", True)
         rng = Blake2b512Rng.setup()
         rng.feed(poly.info())
         proof, _state = prove_generic(rng, poly, block=16)
     finally:
-        cfg.engine, cfg.mxu_fold, cfg.pallas = saved
+        cfg.engine, cfg.mxu_fold, cfg.pallas, cfg.ab = saved
     assert serialize_proof(proof) == serialize_proof(href)
 
 
@@ -126,3 +127,21 @@ def test_gkr_eq_table_mxu_matches_cios(rnd, _mxu_fold_on, monkeypatch):
     want = np.asarray(GI._eq_table(jnp.asarray(r_pts), jnp.asarray(omr_pts), 5))
     cfg.mxu_fold = "on"
     assert (got == want).all()
+
+
+def test_mxu_fold_quarantined_without_ab_flag():
+    """The losing A/B bodies (MXU_AB.json) must refuse to engage without
+    SUMCHECK_TPU_AB=1 (VERDICT round-4 ask #8)."""
+    cfg = get_config()
+    saved = (cfg.mxu_fold, cfg.ab)
+    try:
+        cfg.mxu_fold, cfg.ab = "xla", False
+        with pytest.raises(ValueError, match="SUMCHECK_TPU_AB"):
+            cfg.mxu_mode()
+        cfg.mxu_fold = "kernel"
+        with pytest.raises(ValueError, match="SUMCHECK_TPU_AB"):
+            cfg.mxu_mode()
+        cfg.ab = True
+        assert cfg.mxu_mode() == "kernel"  # unlocked
+    finally:
+        cfg.mxu_fold, cfg.ab = saved

@@ -16,6 +16,7 @@ make the chip-only path testable WITHOUT the chip:
    class (`fields/limbs_jnp.py` `_KERNEL_TRACE`, now thread-local).
 """
 
+import os
 import threading
 
 import jax
@@ -28,6 +29,18 @@ from sumcheck_tpu.fields import limbs_np as L
 from sumcheck_tpu.fields.fr import NUM_DIGITS, P
 
 MODES = ["unroll", "fori", "fori4", "fori16"]
+# Non-default mode x kernel combos are A/B research surface (VERDICT round-4
+# ask #8): the production chain kernels trace under fori16 only. Covering
+# every mode on every kernel family tripled the lowering chunk's wall; the
+# extra combos stay runnable behind SUMCHECK_TPU_AB=1.
+_AB = os.environ.get("SUMCHECK_TPU_AB", "0") not in ("", "0", "off")
+ab_only = pytest.mark.skipif(
+    not _AB, reason="A/B-only kernel combo (set SUMCHECK_TPU_AB=1)"
+)
+
+
+def _with_ab(defaults, extras):
+    return list(defaults) + [pytest.param(m, marks=ab_only) for m in extras]
 PRODUCTS = ((0, 1), (1, 0))  # 2 products x 2 multiplicands over 2 slots
 DEGREE = 2
 U = 2
@@ -87,7 +100,7 @@ def _chain_args(B: int, bt: int):
     )
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", _with_ab(["fori16"], ["unroll", "fori", "fori4"]))
 def test_chain_fold_kernel_lowers_for_tpu(monkeypatch, mode):
     """The generic-chain fold kernel (the flagship prover's hot body,
     `protocol/generic_prover.py`) must Mosaic-lower under every CIOS mode."""
@@ -101,7 +114,7 @@ def test_chain_fold_kernel_lowers_for_tpu(monkeypatch, mode):
     _build_chain.cache_clear()
 
 
-@pytest.mark.parametrize("mode", ["fori", "fori16"])
+@pytest.mark.parametrize("mode", _with_ab(["fori16"], ["fori"]))
 def test_chain_nofold_kernel_lowers_for_tpu(monkeypatch, mode):
     from sumcheck_tpu.ops.round_pallas import _build_chain
 
@@ -118,7 +131,7 @@ def test_chain_nofold_kernel_lowers_for_tpu(monkeypatch, mode):
     _build_chain.cache_clear()
 
 
-@pytest.mark.parametrize("mode", ["fori16"])
+@pytest.mark.parametrize("mode", _with_ab([], ["fori16"]))
 def test_chain_mxu_kernel_lowers_for_tpu(monkeypatch, mode):
     """In-kernel MXU fold variant (challenge as a (63, 32) bf16 band)."""
     from sumcheck_tpu.ops.round_pallas import _build_chain
@@ -136,7 +149,7 @@ def test_chain_mxu_kernel_lowers_for_tpu(monkeypatch, mode):
     _build_chain.cache_clear()
 
 
-@pytest.mark.parametrize("mode", ["unroll", "fori16"])
+@pytest.mark.parametrize("mode", _with_ab(["fori16"], ["unroll"]))
 @pytest.mark.parametrize("do_fold", [True, False])
 def test_persize_kernel_lowers_for_tpu(monkeypatch, mode, do_fold):
     """The per-size fused round kernel (`ops/round_pallas._build`)."""
