@@ -116,8 +116,25 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             GI._split_f1_device(f1, dim)
         )
         nnz = int(vals_d.shape[1])
+        narrow_x, narrow_y = GI._seg_narrow(f1)
+        # cold path: compile all five GKR programs concurrently — the two
+        # fused pair inits here, the first/fold/tail chain programs below —
+        # while f2/f3/f1-split uploads proceed (VERDICT round-4 ask #4)
+        from .protocol.generic_prover import prewarm_family_async
+
+        pair_warm = GI.warm_pair_programs_async(
+            nnz, dim, GI._mxu_key(), not narrow_x, not narrow_y
+        )
+        H0_w = 1 << (dim - 1)
+        target = get_config().generic_pad_lanes()
+        H_w = target if (target and H0_w < target) else H0_w
+        B_w = min(get_config().generic_block, H_w)
+        prewarm_family_async(H_w, 2, products, 2, B_w, True, H0_w, dim)
         g_r, g_omr = GI._points_arrays(list(g))
-        lo1, hi1, w = GI._compiled_phase1_pair(nnz, dim, GI._mxu_key())(
+        if pair_warm is not None:
+            pair_warm["p1"].result()  # join: never race the warm compile
+        lo1, hi1, w = GI._compiled_phase1_pair(
+            nnz, dim, GI._mxu_key(), not narrow_x)(
             gbits_d, perm_x, last_x, yrev_d, vals_d,
             jnp.asarray(g_r), jnp.asarray(g_omr),
             f3.device_bitrev(), f2.device_bitrev(),
@@ -129,7 +146,10 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             lo1, hi1, state, products, 2, dim, active_pairs=H0
         )
         rs1_dev = jnp.concatenate([rs[:n] for _m, rs, n in parts1], axis=0)
-        lo2, hi2 = GI._compiled_phase2_pair(nnz, dim, GI._mxu_key())(
+        if pair_warm is not None:
+            pair_warm["p2"].result()
+        lo2, hi2 = GI._compiled_phase2_pair(
+            nnz, dim, GI._mxu_key(), not narrow_y)(
             pair1[0][:, :, :1], pair1[1][:, :, :1], r_last,
             x, perm_y, last_y, w, rs1_dev, f3.device_bitrev(),
         )
@@ -143,7 +163,7 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
             msgs_from_host(msgs_h[:dim], 2), msgs_from_host(msgs_h[dim:], 2)
         )
 
-    hg_dev, (x, perm_y, last_y, w) = GI.phase1_init_device_arrays(
+    hg_dev, (x, perm_y, last_y, w, narrow_y) = GI.phase1_init_device_arrays(
         f1, f3, list(g), dim
     )
     lo1, hi1 = GI._compiled_prep1(dim)(hg_dev, f2.device_bitrev())
@@ -153,9 +173,9 @@ def _prove_chained(rng, f1: SparseMLE, f2: DenseMLE, f3: DenseMLE,
     # f2(u): the chain left every table folded dim-1 times (1 lane); one more
     # fold by the final challenge evaluates slot 1 = f2 at u.
     f2_u = GI._compiled_final_fold(1)(pair1[0], pair1[1], rs1[-1])
-    f1_gu = GI._compiled_phase2_digits(int(x.shape[0]), dim, GI._mxu_key())(
-        x, perm_y, last_y, w, jnp.stack(rs1)
-    )
+    f1_gu = GI._compiled_phase2_digits(
+        int(x.shape[0]), dim, GI._mxu_key(), not narrow_y
+    )(x, perm_y, last_y, w, jnp.stack(rs1))
     lo2, hi2 = GI._compiled_prep2(dim, GI._mxu_key())(f1_gu, f3.device_bitrev(), f2_u)
 
     msgs2, rs2, carry, blen, _ = chain_rounds(

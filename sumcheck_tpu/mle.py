@@ -149,7 +149,7 @@ class SparseMLE:
     round sumcheck (`src/gkr_round_sumcheck/mod.rs:22-42`). Indices are unique.
     """
 
-    __slots__ = ("num_vars", "indices", "values", "_dev_split")
+    __slots__ = ("num_vars", "indices", "values", "_dev_split", "_seg_narrow")
 
     def __init__(self, num_vars: int, indices: np.ndarray, values_mont: np.ndarray):
         assert indices.ndim == 1 and values_mont.shape == (NUM_DIGITS, len(indices))

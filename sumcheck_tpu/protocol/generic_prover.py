@@ -458,6 +458,44 @@ def _warm_family(H: int, num_slots: int, products: tuple, degree: int,
         list(ex.map(compile_one, programs))
 
 
+_warm_futures: dict = {}
+
+
+def prewarm_family_async(H: int, num_slots: int, products: tuple, degree: int,
+                         B: int, donate: bool, H0: int,
+                         num_rounds: int) -> None:
+    """Launch this family's program compiles on BACKGROUND threads without
+    blocking, so the caller's table upload/init overlaps the server-side
+    compilation (cold-start wall, VERDICT round-4 ask #4). The join happens
+    in `chain_rounds_generic` right before the first dispatch; jit-level
+    compile locking makes a duplicate call at worst a duplicated wait."""
+    import concurrent.futures
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    key = (H, num_slots, products, degree, B, donate, H0, num_rounds)
+    if key in _warmed_families or key in _warm_futures:
+        return
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    _warm_futures[key] = [
+        ex.submit(_warm_family, H, num_slots, products, degree, B, donate,
+                  H0, num_rounds)
+    ]
+    ex.shutdown(wait=False)
+
+
+def _join_warm(key) -> None:
+    futs = _warm_futures.pop(key, None)
+    if futs is not None:
+        for f in futs:
+            f.result()
+    else:
+        _warm_family(*key)
+    _warmed_families.add(key)
+
+
 def pad_pair(lo, hi):
     """Zero-pad the pair buffers up to the configured lane family so every
     instance size shares the SAME compiled round programs (work scales with
@@ -502,8 +540,7 @@ def chain_rounds_generic(lo, hi, state, products: tuple, degree: int,
 
     key = (H, U, products, degree, B, donate, H0, num_rounds)
     if jax.default_backend() == "tpu" and key not in _warmed_families:
-        _warm_family(H, U, products, degree, B, donate, H0, num_rounds)
-        _warmed_families.add(key)
+        _join_warm(key)  # blocks here only if a prewarm isn't already done
 
     # Huge tables serialize the 3 chain dispatches: the TPU runtime reserves
     # execution resources at ENQUEUE time, and queueing all stages of an
@@ -621,6 +658,21 @@ def prove_generic(fs_rng, polynomial, block: int | None = None):
     from .prover import ProverState
 
     nv = polynomial.num_variables
+    # Kick the family's program compiles off BEFORE the table upload/init so
+    # the two overlap (the compiles run server-side): on a wiped compile
+    # cache the upload + pair init hides under the ~60 s compile wall
+    # instead of adding to it.
+    from .device_prover import _fold_plan
+
+    products_w, _sp, num_slots_w, _no = _fold_plan(polynomial)
+    cfg = get_config()
+    H0_w = 1 << (nv - 1) if nv >= 1 else 1
+    target = cfg.generic_pad_lanes()
+    H_w = target if (target and H0_w < target) else H0_w
+    B_w = min(block if block is not None else cfg.generic_block, H_w)
+    prewarm_family_async(H_w, num_slots_w, products_w,
+                         polynomial.max_multiplicands, B_w, True, H0_w, nv)
+
     lo, hi, products, degree, reusable = init_pair(polynomial)
     if reusable:
         # the pair is a polynomial-level cache; the chain folds in place, so

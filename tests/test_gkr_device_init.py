@@ -51,3 +51,58 @@ def test_gkr_prove_device_init_matches(rnd):
         p_dev.phase1_sumcheck_msgs + p_dev.phase2_sumcheck_msgs,
     ):
         assert a == b, "device-init GKR proof differs"
+
+
+def test_segment_reduce_16row_matches_split8(rnd):
+    """The 16-row (no-split) segment reduce must equal the 8-bit-split one
+    wherever it is eligible, and `_seg_narrow` must refuse it when a
+    segment exceeds 2^16 entries (exactness bound)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sumcheck_tpu.fields import limbs_np as L
+    from sumcheck_tpu.ops import gkr_init as GI
+
+    nnz, S = 1500, 64
+    seg = np.sort(np.asarray([rnd.randrange(S) for _ in range(nnz)]))
+    vals = L.from_ints([rnd.randrange(P) for _ in range(nnz)])
+    last = (np.searchsorted(seg, np.arange(S), side="right") - 1).astype(np.int32)
+    v = jnp.asarray(vals.astype(np.uint32))
+    lp = jnp.asarray(last)
+    a = np.asarray(GI._segment_reduce_sorted(v, None, lp, split8=True))
+    b = np.asarray(GI._segment_reduce_sorted(v, None, lp, split8=False))
+    assert (a == b).all(), "16-row reduce differs from 8-bit split"
+
+    # eligibility: a SparseMLE with > 2^16 duplicate x-collisions must pin
+    # split8 on the x axis; small random instances must go narrow
+    import random as _r
+
+    from sumcheck_tpu.mle import SparseMLE
+
+    f1 = SparseMLE.rand_with_config(3 * 4, 1 << 4, _r.Random(5))
+    GI._split_f1_device(f1, 4)
+    nx, ny = GI._seg_narrow(f1)
+    assert nx and ny  # 16 entries: trivially narrow
+
+
+def test_weight_fold_kron_matches_plain(rnd, monkeypatch):
+    """The kron-split eq gather (two half-tables + one extra multiply) must
+    produce the same weights as the single-table fold — exact field math,
+    any association."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sumcheck_tpu.fields import limbs_np as L
+    from sumcheck_tpu.ops import gkr_init as GI
+
+    k, nnz = 6, 200
+    pts = [Fr(rnd.randrange(P)) for _ in range(k)]
+    r_pts, omr_pts = GI._points_arrays(pts)
+    idx = np.asarray([rnd.randrange(1 << k) for _ in range(nnz)], np.int32)
+    vals = L.from_ints([rnd.randrange(P) for _ in range(nnz)])
+    args = (jnp.asarray(idx), jnp.asarray(vals.astype(np.uint32)),
+            jnp.asarray(r_pts), jnp.asarray(omr_pts), k)
+    plain = np.asarray(GI._weight_fold(*args))      # k < _KRON_MIN_K: 1 table
+    monkeypatch.setattr(GI, "_KRON_MIN_K", 2)
+    kron = np.asarray(GI._weight_fold(*args))       # same k: kron split
+    assert (plain == kron).all()
