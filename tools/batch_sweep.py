@@ -90,15 +90,25 @@ def main() -> None:
 
     for nv in nvs:
         for B in bs:
-            polys = [build_poly(nv) for _ in range(B)]
-            row = measure(f"ml B={B} nv={nv}",
-                          lambda: BatchedMLSumcheck.prove(polys), reps)
-            per = row["best_s"] / B
-            out["ml_rows"].append({
-                "proto": "ml", "B": B, "nv": nv, **row,
-                "per_proof_s": round(per, 6),
-                "vs_baseline": round(BASELINE_ML[nv] / per, 3),
-            })
+            try:
+                polys = [build_poly(nv) for _ in range(B)]
+                row = measure(f"ml B={B} nv={nv}",
+                              lambda: BatchedMLSumcheck.prove(polys), reps)
+                per = row["best_s"] / B
+                out["ml_rows"].append({
+                    "proto": "ml", "B": B, "nv": nv, **row,
+                    "per_proof_s": round(per, 6),
+                    "vs_baseline": round(BASELINE_ML[nv] / per, 3),
+                })
+            except Exception as e:  # noqa: BLE001 — a point outside the
+                # operating envelope (e.g. B=32 overruns the batched
+                # program's VMEM budget) is a FINDING, not a sweep abort
+                out["ml_rows"].append({
+                    "proto": "ml", "B": B, "nv": nv,
+                    "error": repr(e)[:300],
+                })
+                print(f"# ml B={B} nv={nv} FAILED: {e!r}"[:200],
+                      file=sys.stderr, flush=True)
             flush()
 
     import random as _random
@@ -117,13 +127,20 @@ def main() -> None:
             rngs = [Blake2b512Rng.setup() for _ in range(B)]
             return BatchedGKRRoundSumcheck.prove(rngs, *args)
 
-        row = measure(f"gkr B={B} nv={gkr_nv}", prove, reps)
-        per = row["best_s"] / B
-        out["gkr_rows"].append({
-            "proto": "gkr", "B": B, "nv": gkr_nv, **row,
-            "per_proof_s": round(per, 6),
-            "vs_baseline": round(BASELINE_GKR[gkr_nv] / per, 3),
-        })
+        try:
+            row = measure(f"gkr B={B} nv={gkr_nv}", prove, reps)
+            per = row["best_s"] / B
+            out["gkr_rows"].append({
+                "proto": "gkr", "B": B, "nv": gkr_nv, **row,
+                "per_proof_s": round(per, 6),
+                "vs_baseline": round(BASELINE_GKR[gkr_nv] / per, 3),
+            })
+        except Exception as e:  # noqa: BLE001 — record the envelope edge
+            out["gkr_rows"].append({
+                "proto": "gkr", "B": B, "nv": gkr_nv, "error": repr(e)[:300],
+            })
+            print(f"# gkr B={B} nv={gkr_nv} FAILED: {e!r}"[:200],
+                  file=sys.stderr, flush=True)
         flush()
 
     best16 = max((r for r in out["ml_rows"] if r["nv"] == 16),
