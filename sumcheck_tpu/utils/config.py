@@ -41,9 +41,10 @@ class Config:
     generic_block: int = int(os.environ.get("SUMCHECK_TPU_GENERIC_BLOCK", 1 << 15))
     # The BATCHED provers run one chain with no narrow-tail split — every
     # round pays >= 1 masked block per instance, so sub-block waste scales
-    # with block size: 2^13 measured 20.7 ms/proof at 8 x nv=16 vs 83 ms
-    # with the 2^15 chain default (round 4).
-    batch_block: int = int(os.environ.get("SUMCHECK_TPU_BATCH_BLOCK", 1 << 13))
+    # with block size. Round-5 A/B at 8 x nv=16 (best ms/proof): 2^11 15.7 /
+    # **2^12 15.4** / 2^13 19.7 / 2^14 38.5 / 2^15 83 — full B x nv grid in
+    # BATCH_SWEEP.json.
+    batch_block: int = int(os.environ.get("SUMCHECK_TPU_BATCH_BLOCK", 1 << 12))
     # narrow-chain block for rounds whose extent has fallen below
     # generic_block (the Pallas tail chain). 2^9 measured best for the GKR
     # nv=18 driver workload on the v5e (round-5 tail sweep); raise/lower to

@@ -143,7 +143,8 @@ def main() -> None:
                   file=sys.stderr, flush=True)
         flush()
 
-    best16 = max((r for r in out["ml_rows"] if r["nv"] == 16),
+    best16 = max((r for r in out["ml_rows"]
+                  if r["nv"] == 16 and "vs_baseline" in r),
                  key=lambda r: r["vs_baseline"], default=None)
     if best16:
         out["best_nv16"] = {"B": best16["B"],
