@@ -108,3 +108,33 @@ def test_chained_full_roundtrip(chained_cfg, rnd):
     assert MLSumcheck.extract_sum(proof) == asserted
     sub = MLSumcheck.verify(poly.info(), asserted, proof)
     assert poly.evaluate(sub.point) == sub.expected_evaluation
+
+
+def test_big_pair_incremental_init_matches_host(rnd, monkeypatch):
+    """The >=2GB table path (incremental pair init, pair NOT cached,
+    donated into the chain — the nv=24 north-star route) forced at a tiny
+    size via the byte threshold: proof bytes must equal the host engine's,
+    and repeated proves must re-init (no stale donated cache)."""
+    from sumcheck_tpu import Blake2b512Rng, MLSumcheck
+    from sumcheck_tpu.ml_sumcheck import serialize_proof
+    from sumcheck_tpu.protocol import device_prover as DP
+    from sumcheck_tpu.utils.config import get_config
+
+    from conftest import random_list_of_products
+
+    poly, _ = random_list_of_products(6, (2, 3), 2, rnd)
+    cfg = get_config()
+    saved = (cfg.engine, cfg.chained)
+    try:
+        cfg.engine, cfg.chained = "host", "off"
+        href, _ = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
+        monkeypatch.setattr(DP, "_BIG_PAIR_BYTES", 1)  # everything is "big"
+        cfg.engine, cfg.chained = "device", "on"
+        lo, hi, products, degree, reusable = DP.init_pair(poly)
+        assert not reusable, "big pairs must not be cached (donated away)"
+        p1, _ = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
+        p2, _ = MLSumcheck.prove_as_subprotocol(Blake2b512Rng.setup(), poly)
+    finally:
+        cfg.engine, cfg.chained = saved
+    assert serialize_proof(p1) == serialize_proof(href)
+    assert serialize_proof(p2) == serialize_proof(href)
