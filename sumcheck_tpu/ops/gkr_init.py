@@ -45,20 +45,58 @@ def _points_arrays(points: list[Fr]):
 
 
 # at or above this many eq-variables the weight fold gathers from TWO
-# half-size tables instead of one 2^k table (see `_weight_fold`). The split
-# is OPT-IN (SUMCHECK_TPU_KRON_EQ=1): measured on the v5e at GKR nv=18 it
-# buys ~3 ms warm (92.1 vs 94.9 ms best) but the small-table gathers lower
-# to enormous HLO and the phase programs' cold compile blows up from ~45 s
-# to ~21 MINUTES — the wrong default against a <120 s cold-compile budget.
-# Kept as a measured A/B for deployments that compile once per machine.
-_KRON_MIN_K = (
-    12 if os.environ.get("SUMCHECK_TPU_KRON_EQ", "0") not in ("", "0", "off")
-    else 1 << 30
-)
+# half-size tables instead of one 2^k table (see `_weight_fold`). Modes
+# (SUMCHECK_TPU_KRON_EQ): "1" gathers the half-tables with jnp.take —
+# measured on the v5e at GKR nv=18 it buys ~3 ms warm (92.1 vs 94.9 ms
+# best) but the small-table gathers lower to enormous HLO and the phase
+# programs' cold compile blows up from ~45 s to ~21 MINUTES — the wrong
+# default against a <120 s cold-compile budget; "mxu" replaces the
+# small-table gathers with one-hot bf16 MXU matmuls (`_take_small_mxu`) —
+# tiny HLO, flat compile — and applies the split only where the big-table
+# gather is actually arbitrary (phase 2's x-bit fold; phase 1's entries
+# arrive x-sorted, so its big gather is near-monotone and already cheap).
+# "auto" (default): "mxu" on TPU (measured A/B, GKR nv=18: 91.0 ms best =
+# 10.4x vs 95.4 ms without), off elsewhere (host gathers are cheap).
+_KRON_MODE = os.environ.get("SUMCHECK_TPU_KRON_EQ", "auto")
+_KRON_MODE = None if _KRON_MODE in ("", "0", "off") else _KRON_MODE
+_KRON_MIN_K = 12
+
+
+def _kron_mode() -> str | None:
+    """Resolved kron-split mode (lazy: 'auto' needs the backend)."""
+    if _KRON_MODE == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else None
+    return _KRON_MODE
+
+
+def _take_small_mxu(table, idx):
+    """Gather a SMALL (16, T) digit table at arbitrary `idx` -> (16, nnz)
+    via a one-hot bf16 MXU matmul.
+
+    Exact: the table splits into 8-bit halves (< 2^8, bf16-representable),
+    the one-hot matrix is 0/1, and each f32 output accumulates exactly one
+    term — so the dot is integer-exact and the recombined uint32 digits are
+    bit-identical to `jnp.take`. Unlike XLA's small-table gather lowering
+    (enormous HLO, ~21 min compile at T=2^9 inside the fused phase
+    programs) the dot lowers to one tiny MXU op; the one-hot (T, nnz) bf16
+    operand is the cost (~2 * T * nnz bytes of HBM traffic), still well
+    under an arbitrary 2^18-lane HBM gather (~2.9 ms)."""
+    T = table.shape[1]
+    onehot = (idx[None, :] == jax.lax.iota(jnp.int32, T)[:, None]).astype(
+        jnp.bfloat16
+    )  # (T, nnz)
+    halves = jnp.concatenate([table & 0xFF, table >> 8], axis=0).astype(
+        jnp.bfloat16
+    )  # (32, T), each < 2^8
+    g = jax.lax.dot_general(
+        halves, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32)  # exact: one-hot selects a single 8-bit term
+    return g[:NUM_DIGITS] | (g[NUM_DIGITS:] << 8)
 
 
 def _weight_fold(indices, values, r_pts, omr_pts, k: int,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None, sorted_idx: bool = False):
     """values * prod_{i<k} (bit_i(indices) ? r_i : 1-r_i), batched.
 
     Computed via the eq table, NOT via k per-entry multiply-select passes:
@@ -81,12 +119,17 @@ def _weight_fold(indices, values, r_pts, omr_pts, k: int,
     if axis_name is not None:
         eq = _eq_table_sharded(r_pts, omr_pts, k, axis_name)
         return LJ.mont_mul(values, jnp.take(eq, indices, axis=1))
-    if k >= _KRON_MIN_K:
+    mode = _kron_mode()
+    if mode and k >= _KRON_MIN_K and not (sorted_idx and mode == "mxu"):
         kl = k // 2
         eq_lo = _eq_table(r_pts[:kl], omr_pts[:kl], kl)
         eq_hi = _eq_table(r_pts[kl:], omr_pts[kl:], k - kl)
-        lo_g = jnp.take(eq_lo, indices & ((1 << kl) - 1), axis=1)
-        hi_g = jnp.take(eq_hi, indices >> kl, axis=1)
+        if mode == "mxu":
+            lo_g = _take_small_mxu(eq_lo, indices & ((1 << kl) - 1))
+            hi_g = _take_small_mxu(eq_hi, indices >> kl)
+        else:
+            lo_g = jnp.take(eq_lo, indices & ((1 << kl) - 1), axis=1)
+            hi_g = jnp.take(eq_hi, indices >> kl, axis=1)
         return LJ.mont_mul(LJ.mont_mul(values, lo_g), hi_g)
     eq = _eq_table(r_pts, omr_pts, k)
     return LJ.mont_mul(values, jnp.take(eq, indices, axis=1))
@@ -249,7 +292,7 @@ def _compiled_phase1(nnz: int, dim: int, mxu: str = "off",
         # CIOS body (4x the compile speed, ~nil warm cost — see
         # `cios_trace_mode`).
         with cios_trace_mode("fori4"):
-            w = _weight_fold(gbits, values, g_r, g_omr, dim)
+            w = _weight_fold(gbits, values, g_r, g_omr, dim, sorted_idx=True)
             f3y = jnp.take(f3_bitrev, y_rev, axis=1)  # (16, nnz): f3[y]
             wv = LJ.mont_mul(w, f3y)
             hg = _segment_reduce_sorted(wv, None, last_x, split8x)
@@ -437,7 +480,7 @@ def _phase1_pair_body(dim: int, split8x: bool = True):
            f2_bitrev):
         # entries pre-sorted by x: no segment gather (see `_compiled_phase1`)
         with cios_trace_mode("fori4"):  # gather-bound: small CIOS trace
-            w = _weight_fold(gbits, values, g_r, g_omr, dim)
+            w = _weight_fold(gbits, values, g_r, g_omr, dim, sorted_idx=True)
             f3y = jnp.take(f3_bitrev, y_rev, axis=1)
             wv = LJ.mont_mul(w, f3y)
             hg = _segment_reduce_sorted(wv, None, last_x, split8x)  # bitrev lane order

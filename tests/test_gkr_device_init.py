@@ -104,5 +104,15 @@ def test_weight_fold_kron_matches_plain(rnd, monkeypatch):
             jnp.asarray(r_pts), jnp.asarray(omr_pts), k)
     plain = np.asarray(GI._weight_fold(*args))      # k < _KRON_MIN_K: 1 table
     monkeypatch.setattr(GI, "_KRON_MIN_K", 2)
+    monkeypatch.setattr(GI, "_KRON_MODE", "1")      # take-based split
     kron = np.asarray(GI._weight_fold(*args))       # same k: kron split
     assert (plain == kron).all()
+    # the one-hot MXU gather variant must be bit-identical too (8-bit table
+    # halves are bf16-exact; a one-hot f32 dot accumulates one term)
+    monkeypatch.setattr(GI, "_KRON_MODE", "mxu")
+    kron_mxu = np.asarray(GI._weight_fold(*args))
+    assert (plain == kron_mxu).all()
+    # sorted_idx skips the split under "mxu" (phase-1's near-monotone
+    # big-table gather is cheaper than building one-hots) — same result
+    sorted_skip = np.asarray(GI._weight_fold(*args, sorted_idx=True))
+    assert (plain == sorted_skip).all()

@@ -272,3 +272,30 @@ def test_mont_mul_const_modes(monkeypatch, mode):
             mont=False,
         )
     assert got_k == xs, mode
+
+
+def test_phase2_pair_mxu_kron_lowers_for_tpu(monkeypatch):
+    """The TPU-default kron-split weight fold ("mxu": one-hot bf16 dots,
+    `ops/gkr_init._take_small_mxu`) must cross-lower for TPU inside the
+    fused phase-2 pair program — the variant the chip actually runs.
+    (The take-based "1" split is the A/B whose small-table gathers blew the
+    compile wall; the dot variant's HLO must stay flat enough to export.)"""
+    from sumcheck_tpu.ops import gkr_init as GI
+
+    monkeypatch.setattr(GI, "_KRON_MODE", "mxu")
+    monkeypatch.setattr(GI, "_KRON_MIN_K", 2)
+    dim, nnz = 6, 64
+    n = 1 << dim
+    fn = GI._phase2_pair_body(dim, split8y=False)
+    _export_tpu(
+        fn,
+        jnp.zeros((2, NUM_DIGITS, 1), jnp.uint32),   # pair_lo
+        jnp.zeros((2, NUM_DIGITS, 1), jnp.uint32),   # pair_hi
+        jnp.zeros((NUM_DIGITS,), jnp.uint32),        # r_last
+        jnp.zeros((nnz,), jnp.int32),                # x bits
+        jnp.zeros((nnz,), jnp.int32),                # perm_y
+        jnp.zeros((n,), jnp.int32),                  # last_y
+        jnp.zeros((NUM_DIGITS, nnz), jnp.uint32),    # w
+        jnp.zeros((dim, NUM_DIGITS), jnp.uint32),    # u_digits
+        jnp.zeros((NUM_DIGITS, n), jnp.uint32),      # f3_bitrev
+    )
