@@ -133,3 +133,38 @@ def test_batched_gkr_matches_individual(rnd):
     finally:
         cfg2.engine = old[0]
     assert Fr.rand(rngs[0]) == Fr.rand(rng_ref)
+
+
+def test_batched_gkr_mxu_kron_matches_individual(rnd, monkeypatch):
+    """The TPU-default mxu kron eq-split under vmap (batched phase inits
+    become batched one-hot bf16 dots) must keep batched GKR bit-identical
+    to the per-instance host prover."""
+    from sumcheck_tpu import Blake2b512Rng, DenseMLE as DM, GKRRoundSumcheck, SparseMLE
+    from sumcheck_tpu.batch import BatchedGKRRoundSumcheck
+    from sumcheck_tpu.ops import gkr_init as GI
+    from sumcheck_tpu.utils.config import get_config
+
+    monkeypatch.setattr(GI, "_KRON_MODE", "mxu")
+    monkeypatch.setattr(GI, "_KRON_MIN_K", 2)
+    dim, nnz, B = 4, 1 << 4, 2
+    insts = [
+        (SparseMLE.rand_with_config(3 * dim, nnz, rnd),
+         DM.rand(dim, rnd), DM.rand(dim, rnd),
+         [Fr(rnd.randrange(P)) for _ in range(dim)])
+        for _ in range(B)
+    ]
+    cfg = get_config()
+    old = (cfg.engine, cfg.chained, cfg.device_threshold, cfg.chain_impl)
+    try:
+        cfg.engine = "host"
+        refs = [GKRRoundSumcheck.prove(Blake2b512Rng.setup(), *i) for i in insts]
+        cfg.engine, cfg.chained, cfg.device_threshold = "device", "on", 1
+        cfg.chain_impl = "generic"
+        proofs = BatchedGKRRoundSumcheck.prove(
+            [Blake2b512Rng.setup() for _ in range(B)],
+            *(list(t) for t in zip(*insts))
+        )
+    finally:
+        cfg.engine, cfg.chained, cfg.device_threshold, cfg.chain_impl = old
+    for ref, pf in zip(refs, proofs):
+        assert ref.serialize_uncompressed() == pf.serialize_uncompressed()
